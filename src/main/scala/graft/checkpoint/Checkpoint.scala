@@ -1,0 +1,85 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Checkpoint manifest with per-partition lineage + metrics, committed via
+  * temp-file + atomic rename — the same commit trick the reference uses for
+  * its stores (reference: internal/shared/filestorages/file_storage.go:113-150).
+  * Emulates Iceberg snapshot/resume semantics (no Iceberg jar in sandbox,
+  * SURVEY.md §7.0): a rerun reads the manifest and skips input partitions
+  * already committed, so reruns converge (idempotent resume).
+  *
+  * Stored as newline-free JSON; hand-rolled serialization keeps us inside
+  * the sanctioned dependency set.
+  */
+object Checkpoint {
+
+  final case class PartitionLineage(partition: String, rows: Long)
+  final case class Manifest(
+      runId: String,
+      committedPartitions: Seq[PartitionLineage],
+      metrics: Map[String, Long]
+  ) {
+    def committedSet: Set[String] = committedPartitions.map(_.partition).toSet
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def write(dir: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val parts = m.committedPartitions
+      .map(p => s"""{"partition":"${esc(p.partition)}","rows":${p.rows}}""")
+      .mkString("[", ",", "]")
+    val metrics = m.metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"runId":"${esc(m.runId)}","committedPartitions":$parts,"metrics":$metrics}"""
+    val tmp = Paths.get(dir, s".manifest.${m.runId}.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(dir, "manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Minimal JSON reader for the manifest shape we write (no external deps). */
+  def read(dir: String): Option[Manifest] = {
+    val p = Paths.get(dir, "manifest.json")
+    if (!Files.exists(p)) return None
+    val json = Files.readString(p)
+    val runId = """"runId":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val partRe = """\{"partition":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r
+    val parts = partRe.findAllMatchIn(json)
+      .map(m => PartitionLineage(unesc(m.group(1)), m.group(2).toLong)).toSeq
+    val metricsBlock = """"metrics":\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val metricRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
+    val metrics = metricRe.findAllMatchIn(metricsBlock)
+      .map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
+    Some(Manifest(unesc(runId), parts, metrics))
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

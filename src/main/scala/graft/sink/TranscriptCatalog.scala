@@ -1,0 +1,43 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table catalog emulating Iceberg-style idempotent
+  * partition-overwrite semantics (no Iceberg runtime jar exists in this
+  * sandbox — SURVEY.md §7.0). All table I/O goes through this one object so
+  * switching to a real Iceberg catalog (`df.writeTo(t).overwritePartitions()`)
+  * is a config-only change.
+  *
+  * `overwritePartitions` uses Spark's dynamic partition-overwrite mode: only
+  * the partitions present in the incoming DataFrame are replaced, and the
+  * file-source committer's rename-based commit makes reruns converge —
+  * the same idempotent-upsert semantics the reference implements with
+  * temp-file + atomic rename
+  * (reference: internal/shared/filestorages/file_storage.go:113-150).
+  */
+final class TranscriptCatalog(val root: String, spark: SparkSession) {
+
+  private def path(table: String): String = s"$root/$table"
+
+  def overwritePartitions(df: DataFrame, table: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path(table))
+  }
+
+  def append(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path(table))
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def exists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}
