@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.Rollup
+import graft.enrich.Enrich
+import graft.gen.TranscriptGen
+import graft.parse.TranscriptParse
+import graft.route.Router
+
+/** Transcript-pipeline operator queries over the deterministic generated
+  * transcript table (pure index math — identical rows every run, so the
+  * parquet dumps are stable across reruns). These have no DuckDB oracle
+  * (the oracle only sees the sfDir tables) → the driver records rows-only
+  * checks; full value-level goldens live in the ScalaTest specs
+  * (Scenario001Spec, PipelineSpec).
+  */
+object PipelineQueries {
+
+  private val N = 100000L
+  private def transcript(s: SparkSession): DataFrame =
+    TranscriptGen.generate(s, N, 16, 5000)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Full parse → salted exploded rollup (the pipeline's aggregate output).
+    "pipe_rollup" -> ((s: SparkSession, _: String) => {
+      val (valid, _) = TranscriptParse.parse(transcript(s))
+      Rollup.explodedRollup(valid)
+    }),
+
+    // Parse → broadcast enrich → router fan-out counts.
+    "pipe_routes" -> ((s: SparkSession, _: String) => {
+      val (valid, _) = TranscriptParse.parse(transcript(s))
+      Router.routeCounts(Enrich.enrich(valid, s), Router.defaultRoutes)
+    }),
+
+    // Stable (conv_id, turn_idx) ordering invariant: row_number/lag window.
+    "pipe_turn_order" -> ((s: SparkSession, _: String) => {
+      val (valid, _) = TranscriptParse.parse(transcript(s))
+      Rollup.withTurnOrder(valid)
+        .select("conv_id", "turn_idx", "turn_rank", "role", "prev_role")
+    }),
+
+    // Quarantine routing on injected invalid rows (every 97th turn_idx run
+    // gets a null text → ING_1000).
+    "pipe_quarantine" -> ((s: SparkSession, _: String) => {
+      val withBad = transcript(s).withColumn("text",
+        when(pmod(col("turn_idx"), lit(97)) === 96, lit(null).cast("string"))
+          .otherwise(col("text")))
+      val (_, quarantine) = TranscriptParse.parse(withBad)
+      quarantine.groupBy("error_code").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Map-valued sink form (reference WindowAggregateResult shape).
+    "pipe_map_valued" -> ((s: SparkSession, _: String) => {
+      val (valid, _) = TranscriptParse.parse(transcript(s))
+      Rollup.mapValued(Rollup.explodedRollup(valid))
+    })
+  )
+}

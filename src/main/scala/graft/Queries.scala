@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.parse.{LogParse, UserAgentFamily}
+import graft.route.Router
+import graft.agg.Rollup
+
+/** Operator query catalog: one oracle-checked query per implemented operator
+  * from SURVEY.md §2, expressed over the driver-provided testdata tables
+  * (events / TPC-H-ish / documents / embeddings). Each entry has a matching
+  * DuckDB SQL oracle in `oracleSql` with identical column names & semantics.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // Pinned UA strings (reference e2e scenario fixtures,
+  // tests/e2e/scenarios/001_basic_minute_rollup/scenario.go:27-33).
+  private val uaStrings = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "curl/7.88.1",
+    "SomeUnknownAgent/2.0 extra"
+  )
+  private val uaFamilies = Seq("Chrome", "Firefox", "Googlebot", "curl", "SomeUnknownAgent")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- A1+W1+X1+A4: the flagship two-phase windowed aggregation ---
+    "q_agg_minute_counts" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("minute", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- P4+A3: normalize projection + path-key normalization ---
+    "q_normalize_project" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        upper(trim(col("event_type"))).as("event_type_norm"),
+        concat_ws(" ", upper(col("event_type")), col("user_id").cast("string"))
+          .as("key_norm"))
+    }),
+
+    // --- P3: two-format timestamp parse (round-trip through wire format) ---
+    "q_ts_parse_two_formats" -> ((s: SparkSession, dir: String) => {
+      val wire = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      t(s, dir, "events").select(
+        col("event_id"),
+        LogParse.parseTimestamp(wire).as("ts_parsed"))
+    }),
+
+    // --- P5+E1: predicate validation with error-code classification ---
+    "q_validate_quarantine" -> ((s: SparkSession, dir: String) => {
+      val code = when(col("value").isNull || col("props").isNull, lit("ING_1000"))
+        .when(col("value") < 0 || col("value") > 150, lit("ING_1001"))
+        .when(length(col("props")) > 8, lit("ING_1002"))
+        .otherwise(lit("OK"))
+      t(s, dir, "events").groupBy(code.as("error_code"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- A2: UA-family compiled-regex dispatch table ---
+    "q_ua_family" -> ((s: SparkSession, dir: String) => {
+      val uaArr = array(uaStrings.map(lit): _*)
+      val ua = element_at(uaArr, pmod(col("user_id"), lit(5)).cast("int") + 1)
+      t(s, dir, "events")
+        .select(UserAgentFamily.family(ua).as("ua_family"))
+        .groupBy("ua_family").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- D1a: row-level exact dedup ---
+    "q_dedup_rows" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").select("user_id", "event_type").distinct()
+    }),
+
+    // --- D1b: anti-join replay guard ---
+    "q_dedup_antijoin" -> ((s: SparkSession, dir: String) => {
+      val events = t(s, dir, "events")
+      val committed = events
+        .filter(col("event_type") === "signup" && col("value") > 120)
+        .select("user_id").distinct()
+      events.join(committed, Seq("user_id"), "left_anti")
+        .select("event_id", "user_id")
+    }),
+
+    // --- X1 skew: explicit two-stage salted aggregation ---
+    "q_salted_agg" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .withColumn("salt", pmod(hash(col("event_id")), lit(8)))
+        .groupBy("user_id", "salt").agg(count(lit(1)).as("pc"))
+        .groupBy("user_id").agg(sum("pc").as("cnt"))
+    }),
+
+    // --- A5: incremental partial-merge (union of partials → final) ---
+    "q_incremental_merge" -> ((s: SparkSession, dir: String) => {
+      val events = t(s, dir, "events")
+      val p1 = events.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("pc"))
+      val p2 = events.filter(pmod(col("event_id"), lit(2)) === 1)
+        .groupBy("user_id").agg(count(lit(1)).as("pc"))
+      p1.unionByName(p2).groupBy("user_id").agg(sum("pc").as("cnt"))
+    }),
+
+    // --- W2: window-key formatting ---
+    "q_window_key_format" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(Rollup.windowKey(date_trunc("minute", col("ts")), "minute")
+          .as("window_key"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- J: broadcast-join enrich ---
+    "q_broadcast_enrich" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- R1: router fan-out predicates (first-match-wins) ---
+    "q_router_fanout" -> ((s: SparkSession, dir: String) => {
+      val routes = Seq(
+        Router.Route("errors", col("event_type") === "error"),
+        Router.Route("high_value", col("value") > 100),
+        Router.Route("conversions", col("event_type").isin("signup", "purchase")))
+      Router.routeCounts(t(s, dir, "events"), routes)
+    }),
+
+    // --- O1: stable ordering window (row_number + lag) ---
+    "q_turn_order" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events").select(
+        col("event_id"),
+        row_number().over(w).as("rn"),
+        lag("event_type", 1).over(w).as("prev_type"))
+    }),
+
+    // --- S3: top-k with deterministic tiebreak ---
+    "q_topk" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id").asc).limit(10)
+    }),
+
+    // --- P1+P2: grok/regex field extraction from semi-structured text ---
+    "q_grok_extract" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+    })
+  ) ++ OpsQueries.queries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_minute_counts" ->
+      "SELECT date_trunc('minute', ts) AS window_start, event_type, count(*) AS cnt FROM events GROUP BY 1, 2",
+    "q_normalize_project" ->
+      "SELECT event_id, upper(trim(event_type)) AS event_type_norm, upper(event_type) || ' ' || CAST(user_id AS VARCHAR) AS key_norm FROM events",
+    "q_ts_parse_two_formats" ->
+      "SELECT event_id, coalesce(try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ'), '%Y-%m-%dT%H:%M:%S.%gZ'), try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ'), '%Y-%m-%dT%H:%M:%SZ')) AS ts_parsed FROM events",
+    "q_validate_quarantine" ->
+      "SELECT CASE WHEN value IS NULL OR props IS NULL THEN 'ING_1000' WHEN value < 0 OR value > 150 THEN 'ING_1001' WHEN length(props) > 8 THEN 'ING_1002' ELSE 'OK' END AS error_code, count(*) AS cnt FROM events GROUP BY 1",
+    "q_ua_family" -> {
+      val fams = uaFamilies.zipWithIndex
+        .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+      s"SELECT CASE user_id % 5 $fams END AS ua_family, count(*) AS cnt FROM events GROUP BY 1"
+    },
+    "q_dedup_rows" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_dedup_antijoin" ->
+      "SELECT event_id, user_id FROM events WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'signup' AND value > 120)",
+    "q_salted_agg" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1",
+    "q_incremental_merge" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1",
+    "q_window_key_format" ->
+      "SELECT strftime(date_trunc('minute', ts), '%Y%m%dT%H%MZ') AS window_key, count(*) AS cnt FROM events GROUP BY 1",
+    "q_broadcast_enrich" ->
+      "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1",
+    "q_router_fanout" ->
+      "SELECT CASE WHEN event_type = 'error' THEN 'errors' WHEN value > 100 THEN 'high_value' WHEN event_type IN ('signup', 'purchase') THEN 'conversions' ELSE 'other' END AS route, count(*) AS cnt FROM events GROUP BY 1",
+    "q_turn_order" ->
+      "SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events",
+    "q_topk" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1 ORDER BY cnt DESC, user_id ASC LIMIT 10",
+    "q_grok_extract" ->
+      "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INTEGER) AS k FROM events"
+  ) ++ OpsQueries.oracleSql
+}

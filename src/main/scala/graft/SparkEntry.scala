@@ -1,13 +1,31 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates the operator catalog: log-pipeline operators
+  * (graft.Queries, DuckDB-oracle-checked on the events/TPC-H tables),
+  * training-data ops (graft.OpsQueries, oracle-checked on documents/
+  * embeddings), and transcript-pipeline queries over the deterministic
+  * generator (graft.PipelineQueries, rows-only).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The pipeline's core shape: minute-windowed two-phase count aggregation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy(date_trunc("minute", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the pipe_* generator-backed
+    * queries (non-SQL-expressible over sfDir) → driver records rows-only.
+    */
+  def oracleSql: Map[String, String] = Queries.oracleSql
 }
