@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.app.PipelineJob
+import graft.checkpoint.Checkpoint
+import graft.gen.TranscriptGen
+import graft.model.PipelineConfig
+import graft.sink.TranscriptCatalog
+
+/** End-to-end pipeline tests: routing invariants, per-turn text equality
+  * under stable ordering (north-rule invariant), checkpoint/resume
+  * convergence (SURVEY.md §5: delete half the sink, rerun, assert
+  * convergence).
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private val N = 20000L
+
+  test("pipeline e2e: routes partition the input; aggregates tally to input size") {
+    val out = tmpDir("pipe-e2e")
+    val raw = TranscriptGen.generate(spark, N, 4)
+    val res = PipelineJob.run(spark, raw, out, PipelineConfig(), "t1")
+    res.metrics("rows_parsed") shouldBe N
+    res.routeCounts.values.sum shouldBe N
+    val catalog = new TranscriptCatalog(out, spark)
+    val agg = catalog.read("aggregates")
+    agg.filter(col("dim") === "tool").agg(sum("cnt")).head.getLong(0) shouldBe N
+    agg.filter(col("dim") === "role").agg(sum("cnt")).head.getLong(0) shouldBe N
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val out = tmpDir("pipe-text")
+    val raw = TranscriptGen.generate(spark, 5000, 4)
+    PipelineJob.run(spark, raw, out, PipelineConfig(), "t1")
+    val catalog = new TranscriptCatalog(out, spark)
+    // The routed sink must preserve every turn's text byte-for-byte: join
+    // back to the generator on the stable key and compare.
+    val sunk = catalog.read("routed").select("conv_id", "turn_idx", "text")
+    val joined = raw.select(col("conv_id"), col("turn_idx"),
+        col("text").as("expected_text"))
+      .join(sunk, Seq("conv_id", "turn_idx"), "full_outer")
+    joined.filter(col("text").isNull || col("expected_text").isNull ||
+      col("text") =!= col("expected_text")).count() shouldBe 0
+  }
+
+  test("rerun with same data is a no-op; checkpoint carries lineage") {
+    val out = tmpDir("pipe-rerun")
+    val raw = TranscriptGen.generate(spark, 10000, 4)
+    val r1 = PipelineJob.run(spark, raw, out, PipelineConfig(), "t1")
+    val aggBefore = new TranscriptCatalog(out, spark).read("aggregates").count()
+    val r2 = PipelineJob.run(spark, raw, out, PipelineConfig(), "t2")
+    r2.processedWindows shouldBe empty
+    new TranscriptCatalog(out, spark).read("aggregates").count() shouldBe aggBefore
+    val m = Checkpoint.read(s"$out/_checkpoint").get
+    m.committedPartitions.map(_.rows).sum shouldBe 10000L
+    m.committedPartitions.size shouldBe r1.processedWindows.size
+  }
+
+  test("resume convergence: corrupt half the aggregate sink, clear its " +
+    "checkpoint entries, rerun -> byte-identical aggregate state") {
+    val out = tmpDir("pipe-resume")
+    val raw = TranscriptGen.generate(spark, 10000, 4)
+    PipelineJob.run(spark, raw, out, PipelineConfig(), "t1")
+    val catalog = new TranscriptCatalog(out, spark)
+    def canon() = catalog.read("aggregates")
+      .orderBy("window_key", "conv_id", "dim", "key")
+      .collect().map(_.toString).toSeq
+
+    val golden = canon()
+    val m = Checkpoint.read(s"$out/_checkpoint").get
+    val windows = m.committedPartitions.map(_.partition).sorted
+    val (lost, kept) = windows.splitAt(windows.size / 2)
+
+    // Simulate a failed run: delete half the committed window partitions from
+    // the sink AND from the manifest (as if they never committed).
+    lost.foreach { w =>
+      val dir = new java.io.File(s"$out/aggregates/window_key=$w")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+    Checkpoint.write(s"$out/_checkpoint", m.copy(
+      committedPartitions = m.committedPartitions.filter(p => kept.contains(p.partition))))
+
+    val r = PipelineJob.run(spark, raw, out, PipelineConfig(), "t2")
+    r.processedWindows.sorted shouldBe lost
+    canon() shouldBe golden
+  }
+
+  test("quarantined rows are excluded from aggregates and recorded with codes") {
+    val out = tmpDir("pipe-quar")
+    val raw = TranscriptGen.generate(spark, 5000, 4)
+      .withColumn("text", when(pmod(col("turn_idx"), lit(10)) === 9,
+        lit(null).cast("string")).otherwise(col("text")))
+    val res = PipelineJob.run(spark, raw, out, PipelineConfig(), "t1")
+    val catalog = new TranscriptCatalog(out, spark)
+    val q = catalog.read("quarantine")
+    val quarantined = q.count()
+    quarantined should be > 0L
+    res.metrics("rows_parsed") + quarantined shouldBe 5000L
+    q.select("error_code").distinct().collect().map(_.getString(0)) shouldBe
+      Array("ING_1000")
+    catalog.read("aggregates").filter(col("dim") === "tool")
+      .agg(sum("cnt")).head.getLong(0) shouldBe res.metrics("rows_parsed")
+  }
+}
