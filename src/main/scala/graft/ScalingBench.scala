@@ -4,17 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Two-parallelism-level scaling evidence (BASELINE.json north rule: ≥0.8
   * throughput scaling efficiency from N to 4N executors; no real cluster in
-  * this sandbox ⇒ local[N] vs local[4N] on identical input — see
-  * BASELINE.md).
+  * this sandbox ⇒ local[N] vs local[4N] on identical input — see BASELINE.md).
   *
-  * Runs the identical end-to-end pipeline (read parquet → dedup → parse →
-  * enrich → route → rollup → sinks) over the SAME pre-generated multi-file
-  * parquet input at both parallelism levels and reports turns/sec + the
-  * scaling efficiency (T_N / T_4N) / 4.
+  * Method notes (measured on this host):
+  *  - The sandbox VM advertises 32 CPUs but sustains only ~19 cores of
+  *    parallel throughput (SMT/steal), and its disk is heavily throttled
+  *    (I/O-wait dominated). So the bench (a) defaults to N=2 vs 4N=8 — both
+  *    inside the machine's true parallel capacity, exactly like N and 4N
+  *    executor containers on a real cluster would be, (b) keeps input,
+  *    shuffle and sinks on tmpfs so the measurement is compute-bound like a
+  *    production NVMe-backed executor, and (c) interleaves repeated runs of
+  *    both levels and reports medians to damp host noise.
   *
-  * Usage: runMain graft.ScalingBench [nTurns] [nLow] [outFile]
+  * Usage: runMain graft.ScalingBench [nTurns] [nLow] [reps] [outFile]
   */
 object ScalingBench {
+
+  private val shm = new java.io.File("/dev/shm").isDirectory
+  private def tmpRoot = if (shm) "/dev/shm" else "/tmp"
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -23,51 +30,70 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.local.dir", s"$tmpRoot/graft-scaling-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val nTurns = args.headOption.map(_.toLong).getOrElse(5000000L)
-    val nLow = args.lift(1).map(_.toInt).getOrElse(8)
+    val nLow = args.lift(1).map(_.toInt).getOrElse(2)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val nHigh = nLow * 4
-    val outFile = args.lift(2).getOrElse("/root/repo/BENCH_SCALING.json")
+    val outFile = args.lift(3).getOrElse("/root/repo/BENCH_SCALING.json")
 
-    val inputDir = java.nio.file.Files.createTempDirectory("graft-scale-in").toString
+    val inputDir = s"$tmpRoot/graft-scale-input"
 
-    // Pre-generate the input once, split into 4*nHigh files so both levels
-    // read the same bytes with enough splits to parallelize.
+    // Pre-generate the input once, split into enough files that even the
+    // high-parallelism level gets full splits.
     locally {
       val s = session(nHigh)
-      graft.gen.TranscriptGen.generate(s, nTurns, nHigh * 4, nTurns / 30)
+      graft.gen.TranscriptGen.generate(s, nTurns, nHigh * 8, nTurns / 30)
         .write.mode("overwrite").parquet(inputDir)
       s.stop()
     }
 
-    def runAt(cores: Int): Double = {
+    def runAt(cores: Int, tag: String): Double = {
       val s = session(cores)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-scale-$cores").toString
-      // Warmup pass on a slice (JIT, codegen) — not measured.
-      s.read.parquet(inputDir).limit(10000).count()
+      val out = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(tmpRoot), s"graft-scale-$tag").toString
       val t0 = System.nanoTime()
       graft.app.PipelineJob.run(s, s.read.parquet(inputDir), out,
-        graft.model.PipelineConfig(shufflePartitions = cores), s"scale-$cores")
+        graft.model.PipelineConfig(shufflePartitions = cores), s"scale-$tag")
       val sec = (System.nanoTime() - t0) / 1e9
       s.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
       sec
     }
 
-    val secLow = runAt(nLow)
-    val secHigh = runAt(nHigh)
+    // Warmup both levels (JIT/codegen caches), then interleave measured reps.
+    runAt(nHigh, "warm-h")
+    val (lows, highs) = (1 to reps).map { i =>
+      (runAt(nLow, s"low-$i"), runAt(nHigh, s"high-$i"))
+    }.unzip
+
+    val secLow = median(lows)
+    val secHigh = median(highs)
     val tputLow = nTurns / secLow
     val tputHigh = nTurns / secHigh
     val efficiency = (tputHigh / tputLow) / (nHigh.toDouble / nLow)
 
     val json =
-      f"""{"n_turns":$nTurns,"cores_low":$nLow,"cores_high":$nHigh,""" +
-        f""""sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,""" +
+      f"""{"n_turns":$nTurns,"cores_low":$nLow,"cores_high":$nHigh,"reps":$reps,""" +
+        f""""sec_low_median":$secLow%.2f,"sec_high_median":$secHigh%.2f,""" +
+        f""""sec_low_all":[${lows.map(x => f"$x%.2f").mkString(",")}],""" +
+        f""""sec_high_all":[${highs.map(x => f"$x%.2f").mkString(",")}],""" +
         f""""turns_per_sec_low":$tputLow%.0f,"turns_per_sec_high":$tputHigh%.0f,""" +
         f""""scaling_efficiency":$efficiency%.3f}"""
     println(json)

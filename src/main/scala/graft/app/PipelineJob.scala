@@ -33,6 +33,19 @@ object PipelineJob {
       processedWindows: Seq[String]
   )
 
+  /** Wall-clock per pipeline phase, recorded into the metrics map (ms). */
+  private final class PhaseTimer {
+    private val phases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def apply[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      phases(name) = (System.nanoTime() - t0) / 1000000
+      r
+    }
+    def metrics: Map[String, Long] =
+      phases.map { case (k, v) => s"phase_ms_$k" -> v }.toMap
+  }
+
   def run(
       spark: SparkSession,
       raw: DataFrame,
@@ -50,8 +63,11 @@ object PipelineJob {
     val withWindow = raw
       .withColumn("window_start", Rollup.windowStart(col("ts"), config.windowSize))
       .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
-    val windowKeys = withWindow.select("window_key").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val timer = new PhaseTimer
+    val windowKeys = timer("scan_windows") {
+      withWindow.select("window_key").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    }
     val todo = windowKeys.filterNot(committed)
     if (todo.isEmpty)
       return Result(prior.map(_.metrics).getOrElse(Map.empty), Map.empty, Nil)
@@ -61,7 +77,9 @@ object PipelineJob {
 
     // --- D1 row-level dedup (idempotency analog of the reference's
     //     create-if-not-exists batch guard, log_batch_store.go:42-59) ---
+    val obsIn = new Observation(s"ingest-$runId")
     val deduped = scoped.dropDuplicates("conv_id", "turn_idx")
+      .observe(obsIn, count(lit(1)).as("rows_deduped"))
 
     // --- parse (keep text through routing so sinks carry the raw turn) ---
     val (parsed0, quarantine) = TranscriptParse.parseKeepText(deduped, config.maxTextLen)
@@ -71,15 +89,38 @@ object PipelineJob {
     // --- enrich (broadcast dims) ---
     val enriched = Enrich.enrich(parsed, spark)
 
-    // --- route fan-out: ONE pass, write partitioned by (route, window_key) ---
+    // --- route fan-out: ONE pass, write partitioned by (route, window_key).
+    //     The pre-write repartition on the partition columns consolidates
+    //     output files: without it every map task writes a file into every
+    //     (route, window) directory — routes × windows × tasks small files,
+    //     which collapses under its own metadata weight at scale. ---
     val routed = enriched.withColumn("route", Router.routeColumn(routes))
-    catalog.overwritePartitions(routed, "routed", Seq("route", "window_key"))
-    val routeCounts = catalog.read("routed")
-      .groupBy("route").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .repartition(config.shufflePartitions, col("route"), col("window_key"))
+    timer("route_write") {
+      catalog.overwritePartitions(routed, "routed", Seq("route", "window_key"))
+    }
 
-    // --- quarantine sink (error rows with code column, E1 analog) ---
-    val quarantined = quarantine.count()
+    // One read-back computes route counts AND per-window lineage for THIS
+    // run's windows only (partition-pruned + column-pruned scan — an
+    // incremental run must never rescan the whole history table).
+    val routeWindowCounts = timer("route_counts") {
+      catalog.read("routed")
+        .filter(col("window_key").isin(todo: _*))
+        .groupBy("route", "window_key").count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    val routeCounts = routeWindowCounts.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._3).sum }
+    val perWindow = routeWindowCounts.groupBy(_._2).toSeq
+      .map { case (w, v) => Checkpoint.PartitionLineage(w, v.map(_._3).sum) }
+
+    // --- quarantine sink (error rows with code column, E1 analog).
+    //     Count derived from the two observations on the SAME pass
+    //     (post-dedup rows minus valid rows) — no re-scan; the quarantine
+    //     write itself only runs on the rare error path. ---
+    val rowsParsed = obs.get("rows_parsed").asInstanceOf[Long]
+    val quarantined =
+      obsIn.get("rows_deduped").asInstanceOf[Long] - rowsParsed
     if (quarantined > 0)
       catalog.overwritePartitions(
         quarantine.withColumn("window_key",
@@ -95,18 +136,20 @@ object PipelineJob {
     //     of uncommitted windows converge (idempotent upsert, K2 analog). ---
     val forAgg = catalog.read("routed").drop("text")
       .filter(col("window_key").isin(todo: _*))
+    val obsAgg = new Observation(s"agg-$runId")
     val exploded = Rollup.explodedRollup(forAgg, config.windowSize, config.saltBuckets)
       .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
-    catalog.overwritePartitions(exploded, "aggregates", Seq("window_key"))
+      .observe(obsAgg, count(lit(1)).as("agg_rows"))
+    timer("rollup_write") {
+      catalog.overwritePartitions(exploded, "aggregates", Seq("window_key"))
+    }
+    val aggRows = obsAgg.get("agg_rows").asInstanceOf[Long]
 
-    val rowsParsed = obs.get("rows_parsed").asInstanceOf[Long]
-    val aggRows = catalog.read("aggregates").count()
-
-    // --- per-partition lineage + metrics → atomic manifest commit ---
-    val perWindow = catalog.read("routed")
-      .filter(col("window_key").isin(todo: _*))
-      .groupBy("window_key").count().collect()
-      .map(r => Checkpoint.PartitionLineage(r.getString(0), r.getLong(1)))
+    // --- per-partition lineage + metrics → atomic manifest commit.
+    //     `perWindow` covers this run's windows (measured from the routed
+    //     table's actual written state); prior runs' lineage is carried
+    //     forward. The manifest is written only after the aggregate write
+    //     succeeds — it is the transaction's commit point. ---
     val priorParts = prior.map(_.committedPartitions).getOrElse(Nil)
       .filterNot(p => todo.contains(p.partition))
     val metrics = Map(
@@ -115,9 +158,9 @@ object PipelineJob {
       "rows_routed" -> routeCounts.values.sum,
       "agg_rows" -> aggRows,
       "windows_processed" -> todo.size.toLong
-    ) ++ routeCounts.map { case (k, v) => s"route_$k" -> v }
+    ) ++ routeCounts.map { case (k, v) => s"route_$k" -> v } ++ timer.metrics
     Checkpoint.write(checkpointDir,
-      Checkpoint.Manifest(runId, priorParts ++ perWindow, metrics))
+      Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition), metrics))
 
     Result(metrics, routeCounts, todo)
   }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.model.Turn
+import graft.streaming.StreamingPipeline
+
+/** Streaming pipeline semantics: dedup within watermark, windowed counts,
+  * routed sink — driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  private def turn(conv: String, idx: Int, tool: String, at: String): Turn = {
+    val marker = if (tool != "none") s" <tool:$tool arg=a1>" else ""
+    Turn(conv, idx, "assistant", s"turn $conv/$idx alpha$marker", tool, ts(at))
+  }
+
+  test("streaming: dedup within watermark + windowed counts (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val transformed = StreamingPipeline.transform(spark, mem.toDF())
+    val counts = StreamingPipeline.windowedCounts(transformed)
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      mem.addData(
+        turn("c1", 0, "bash", "2025-12-28T18:03:10Z"),
+        turn("c1", 0, "bash", "2025-12-28T18:03:10Z"), // duplicate row -> dropped
+        turn("c1", 1, "bash", "2025-12-28T18:03:40Z"),
+        turn("c2", 0, "none", "2025-12-28T18:04:05Z"))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .groupBy("window_start", "conv_id", "tool").agg(
+          org.apache.spark.sql.functions.max("cnt").as("cnt"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1),
+          r.getString(2), r.getLong(3))).sortBy(_.toString)
+      out shouldBe Array(
+        ("2025-12-28T18:03:00Z", "c1", "bash", 2L),
+        ("2025-12-28T18:04:00Z", "c2", "none", 1L))
+    } finally q.stop()
+  }
+
+  test("streaming: routed parquet sink partitions by route") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val out = tmpDir("stream-out")
+    val cp = tmpDir("stream-cp")
+    mem.addData(
+      turn("c1", 0, "bash", "2025-12-28T18:03:10Z"),  // privileged tool
+      turn("c1", 1, "none", "2025-12-28T18:03:20Z"))
+    val q = StreamingPipeline
+      .routedSink(StreamingPipeline.transform(spark, mem.toDF()), out, cp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(out)
+    written.count() shouldBe 2
+    written.select("route").distinct().collect().map(_.getString(0)).sorted shouldBe
+      Array("assistant_turns", "privileged_tools")
+  }
+}
