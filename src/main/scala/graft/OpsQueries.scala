@@ -22,7 +22,10 @@ object OpsQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** 3-word shingle set of a text column (guarded for <3-word docs). */
+  /** 3-word shingle set of a text column (guarded for <3-word docs).
+    * Kept as a reference for the single-expression form; the DataFrame
+    * helper below materializes the word split once instead.
+    */
   private val shinglesExpr =
     """CASE WHEN size(split(lower(text), ' ')) >= 3 THEN
       |  array_distinct(transform(
@@ -31,6 +34,20 @@ object OpsQueries {
       |                        element_at(split(lower(text), ' '), i + 1),
       |                        element_at(split(lower(text), ' '), i + 2))))
       |ELSE array() END""".stripMargin.replace("\n", " ")
+
+  /** (doc_id, toks) with the word split materialized in its own projection
+    * so `split(lower(text))` is evaluated once per row, not once per shingle
+    * element (CollapseProject keeps non-cheap exprs from being inlined).
+    */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(ws) >= 3 THEN
+          array_distinct(transform(sequence(1, size(ws) - 2),
+            i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                                element_at(ws, i + 2))))
+          ELSE array() END""").as("toks"))
 
   private val shinglesSqlDuck =
     """CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
@@ -88,23 +105,25 @@ object OpsQueries {
     //     candidate. An all-pairs Jaccard would be O(n²·|shingles|) — dead at
     //     100 TB; this is O(n·|shingles|) + O(candidates). ---
     "dd_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
-      val tok = docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("toks"))
-      val sig = tok.select(col("doc_id"), col("toks"),
-          explode(col("toks")).as("w"))
+      val tok = docShingles(s, dir)
+      // Signatures carry only the two 32-char minima through the shuffle —
+      // the shingle arrays themselves never leave their map tasks here.
+      val sig = tok.select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id").agg(
-          first("toks").as("toks"),
           min(md5(concat(col("w"), lit("s1")))).as("b1"),
           min(md5(concat(col("w"), lit("s2")))).as("b2"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
-        col("b1"), col("b2"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
-        col("b1").as("c1"), col("b2").as("c2"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("b1"), col("b2"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("b1").as("c1"),
+        col("b2").as("c2"))
       val cand1 = a.join(b, col("b1") === col("c1") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "ta", "tb")
+        .select("doc_a", "doc_b")
       val cand2 = a.join(b, col("b2") === col("c2") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "ta", "tb")
-      cand1.union(cand2)
-        .dropDuplicates("doc_a", "doc_b")
+        .select("doc_a", "doc_b")
+      val cand = cand1.union(cand2).distinct()
+      // Exact Jaccard verification only on the (few) candidates.
+      cand
+        .join(tok.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
         .withColumn("jacc",
           round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
             size(array_union(col("ta"), col("tb"))), 4))
@@ -115,8 +134,8 @@ object OpsQueries {
     // --- DD3: MinHash + LSH banding (2 hash bands; candidates = docs
     //     sharing a band minimum; equi-join per band, union, distinct) ---
     "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
-      val words = docs(s, dir).select(col("doc_id"),
-        explode(expr(shinglesExpr)).as("w"))
+      val words = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
       val sig = words.groupBy("doc_id").agg(
         min(md5(concat(col("w"), lit("s1")))).as("b1"),
         min(md5(concat(col("w"), lit("s2")))).as("b2"))

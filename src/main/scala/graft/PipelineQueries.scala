@@ -57,6 +57,28 @@ object PipelineQueries {
     "pipe_map_valued" -> ((s: SparkSession, _: String) => {
       val (valid, _) = TranscriptParse.parse(transcript(s))
       Rollup.mapValued(Rollup.explodedRollup(valid))
+    }),
+
+    // Scenario-001 golden rollup (reference e2e oracle: 64,000 entries +
+    // 2,000 duplicate batches -> 4 windows x 8 keys x 4000; values asserted
+    // byte-exactly in Scenario001Spec; here the aggregate itself is dumped).
+    "scenario001_agg" -> ((s: SparkSession, _: String) => {
+      import graft.gen.Scenario001
+      import graft.parse.{LogParse, UserAgentFamily}
+      val deduped = Scenario001.generate(s).dropDuplicates("batch_id", "entry_idx")
+      val (valid, _) = LogParse.parse(deduped)
+      valid
+        .withColumn("window_start", Rollup.windowStart(col("ts"), "minute"))
+        .withColumn("path_key", LogParse.pathKey(col("method"), col("path")))
+        .withColumn("ua_family", UserAgentFamily.family(col("userAgent")))
+        .select(col("customer_id"), col("window_start"),
+          explode(array(
+            struct(lit("path").as("dim"), col("path_key").as("key")),
+            struct(lit("ua").as("dim"), col("ua_family").as("key")))).as("dk"))
+        .select(col("customer_id"), col("window_start"),
+          col("dk.dim").as("dim"), col("dk.key").as("key"))
+        .groupBy("customer_id", "window_start", "dim", "key")
+        .agg(count(lit(1)).as("cnt"))
     })
   )
 }
