@@ -59,6 +59,15 @@ object PipelineQueries {
       Rollup.mapValued(Rollup.explodedRollup(valid))
     }),
 
+    // Multimodal decode plumbing over documents-as-blobs: mapPartitions
+    // batch shape + typed output; decode itself is the documented stub.
+    "mm_decode_stub" -> ((s: SparkSession, dir: String) => {
+      val blobs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      graft.ops.Multimodal.decode(s,
+        graft.ops.Multimodal.repartitionBySize(blobs, 8)).toDF()
+    }),
+
     // Scenario-001 golden rollup (reference e2e oracle: 64,000 entries +
     // 2,000 duplicate batches -> 4 windows x 8 keys x 4000; values asserted
     // byte-exactly in Scenario001Spec; here the aggregate itself is dumped).

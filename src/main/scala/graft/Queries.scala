@@ -152,6 +152,44 @@ object Queries {
       t(s, dir, "events").select(
         col("event_id"),
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+    }),
+
+    // --- A6: ROLLUP hierarchy (window ⊃ event_type subtotals + grand total) ---
+    "q_rollup_hierarchy" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .withColumn("window_start", date_trunc("hour", col("ts")))
+        .rollup("window_start", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- A7: exact distinct aggregation ---
+    "q_distinct_agg" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // --- O2: per-group top-k (rank window + filter) ---
+    "q_topk_per_group" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "events").groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("event_type", "user_id", "cnt", "rnk")
+    }),
+
+    // --- SET1: set operations (intersect / except of user sets) ---
+    "q_set_ops" -> ((s: SparkSession, dir: String) => {
+      val events = t(s, dir, "events")
+      val errUsers = events.filter(col("event_type") === "error")
+        .select("user_id").distinct()
+      val buyUsers = events.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      errUsers.intersect(buyUsers).withColumn("set_op", lit("both"))
+        .unionByName(errUsers.except(buyUsers).withColumn("set_op", lit("error_only")))
     })
   ) ++ OpsQueries.queries ++ PipelineQueries.queries
 
@@ -188,6 +226,26 @@ object Queries {
     "q_topk" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1 ORDER BY cnt DESC, user_id ASC LIMIT 10",
     "q_grok_extract" ->
-      "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INTEGER) AS k FROM events"
+      "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INTEGER) AS k FROM events",
+    "q_rollup_hierarchy" ->
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt FROM events GROUP BY ROLLUP(date_trunc('hour', ts), event_type)",
+    "q_distinct_agg" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt FROM events GROUP BY 1",
+    "q_topk_per_group" ->
+      """SELECT event_type, user_id, cnt, rnk FROM (
+        |  SELECT event_type, user_id, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
+        |  FROM events GROUP BY event_type, user_id)
+        |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    "q_set_ops" ->
+      """SELECT user_id, 'both' AS set_op FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |   INTERSECT
+        |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'error_only' AS set_op FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |   EXCEPT
+        |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin.replace("\n", " ")
   ) ++ OpsQueries.oracleSql
 }

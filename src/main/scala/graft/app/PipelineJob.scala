@@ -162,6 +162,15 @@ object PipelineJob {
     Checkpoint.write(checkpointDir,
       Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition), metrics))
 
+    // M1 analog: the reference exposes counters via GET /metrics
+    // (internal/shared/metrics/metrics.go:41-50); the batch engine's read
+    // surface is a queryable metrics table, one row per (run, metric).
+    import spark.implicits._
+    catalog.append(
+      metrics.toSeq.sortBy(_._1).map { case (k, v) => (runId, k, v) }
+        .toDF("run_id", "metric", "value"),
+      "metrics")
+
     Result(metrics, routeCounts, todo)
   }
 }
