@@ -154,6 +154,15 @@ object Queries {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
     }),
 
+    // --- P1: structured JSON parse (from_json with explicit schema — the
+    //     reference's strict-schema JSON ingest, never inferSchema) ---
+    "q_json_parse" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").as("k"))
+    }),
+
     // --- A6: ROLLUP hierarchy (window ⊃ event_type subtotals + grand total) ---
     "q_rollup_hierarchy" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -227,6 +236,8 @@ object Queries {
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1 ORDER BY cnt DESC, user_id ASC LIMIT 10",
     "q_grok_extract" ->
       "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INTEGER) AS k FROM events",
+    "q_json_parse" ->
+      "SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events",
     "q_rollup_hierarchy" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt FROM events GROUP BY ROLLUP(date_trunc('hour', ts), event_type)",
     "q_distinct_agg" ->
