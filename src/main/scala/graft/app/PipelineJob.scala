@@ -78,8 +78,9 @@ object PipelineJob {
     // --- D1 row-level dedup (idempotency analog of the reference's
     //     create-if-not-exists batch guard, log_batch_store.go:42-59) ---
     val obsIn = new Observation(s"ingest-$runId")
-    val deduped = scoped.dropDuplicates("conv_id", "turn_idx")
-      .observe(obsIn, count(lit(1)).as("rows_deduped"))
+    val deduped =
+      (if (config.dedup) scoped.dropDuplicates("conv_id", "turn_idx") else scoped)
+        .observe(obsIn, count(lit(1)).as("rows_deduped"))
 
     // --- parse (keep text through routing so sinks carry the raw turn) ---
     val (parsed0, quarantine) = TranscriptParse.parseKeepText(deduped, config.maxTextLen)

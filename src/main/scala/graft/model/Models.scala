@@ -63,7 +63,11 @@ final case class PipelineConfig(
     saltBuckets: Int = 16,
     maxTextLen: Int = 8192,
     maxToolLen: Int = 256,
-    shufflePartitions: Int = 32
+    shufflePartitions: Int = 32,
+    // Row-level dedup costs one full-data shuffle; disable when the source
+    // guarantees uniqueness (replay protection still holds at window
+    // granularity via the checkpoint manifest).
+    dedup: Boolean = true
 ) {
   require(
     windowSize == "minute" || windowSize == "hour",
