@@ -105,13 +105,16 @@ object OpsQueries {
     //     candidate. An all-pairs Jaccard would be O(n²·|shingles|) — dead at
     //     100 TB; this is O(n·|shingles|) + O(candidates). ---
     "dd_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
-      val tok = docShingles(s, dir)
-      // Signatures carry only the two 32-char minima through the shuffle —
-      // the shingle arrays themselves never leave their map tasks here.
-      val sig = tok.select(col("doc_id"), explode(col("toks")).as("w"))
-        .groupBy("doc_id").agg(
-          min(md5(concat(col("w"), lit("s1")))).as("b1"),
-          min(md5(concat(col("w"), lit("s2")))).as("b2"))
+      // Persist: O(n_docs) rows; without it the join pushes IsNotNull(sig)
+      // into the scan and re-evaluates the whole shingle+md5 tree
+      // (interpreted!) once per join side — measured 10× slower.
+      val tok = docShingles(s, dir).persist()
+      // Per-row MinHash via array fold — NO explode, NO groupBy shuffle;
+      // only the two 32-char minima ever leave the map task.
+      val sig = tok.select(col("doc_id"),
+        expr("array_min(transform(toks, w -> md5(concat(w, 's1'))))").as("b1"),
+        expr("array_min(transform(toks, w -> md5(concat(w, 's2'))))").as("b2"))
+        .persist()
       val a = sig.select(col("doc_id").as("doc_a"), col("b1"), col("b2"))
       val b = sig.select(col("doc_id").as("doc_b"), col("b1").as("c1"),
         col("b2").as("c2"))
@@ -134,11 +137,10 @@ object OpsQueries {
     // --- DD3: MinHash + LSH banding (2 hash bands; candidates = docs
     //     sharing a band minimum; equi-join per band, union, distinct) ---
     "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
-      val words = docShingles(s, dir)
-        .select(col("doc_id"), explode(col("toks")).as("w"))
-      val sig = words.groupBy("doc_id").agg(
-        min(md5(concat(col("w"), lit("s1")))).as("b1"),
-        min(md5(concat(col("w"), lit("s2")))).as("b2"))
+      val sig = docShingles(s, dir).select(col("doc_id"),
+        expr("array_min(transform(toks, w -> md5(concat(w, 's1'))))").as("b1"),
+        expr("array_min(transform(toks, w -> md5(concat(w, 's2'))))").as("b2"))
+        .persist() // break lineage so band joins don't re-run the md5 tree
       val a = sig.select(col("doc_id").as("doc_a"), col("b1"), col("b2"))
       val b = sig.select(col("doc_id").as("doc_b"), col("b1").as("c1"),
         col("b2").as("c2"))
@@ -277,8 +279,7 @@ object OpsQueries {
         "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc FROM documents GROUP BY 1",
       "dd_ngram_jaccard" ->
         s"""WITH tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
-           |w AS (SELECT doc_id, unnest(toks) AS w FROM tok),
-           |sig AS (SELECT doc_id, min(md5(w || 's1')) AS b1, min(md5(w || 's2')) AS b2 FROM w GROUP BY doc_id),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
            |cand AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
            |  UNION
@@ -288,8 +289,8 @@ object OpsQueries {
            |FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a JOIN tok tb ON tb.doc_id = c.doc_b
            |WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) / len(list_distinct(ta.toks || tb.toks)), 4) >= 0.5""".stripMargin.replace("\n", " "),
       "dd_minhash_lsh" ->
-        s"""WITH w AS (SELECT doc_id, unnest($shinglesSqlDuck) AS w FROM documents),
-           |sig AS (SELECT doc_id, min(md5(w || 's1')) AS b1, min(md5(w || 's2')) AS b2 FROM w GROUP BY doc_id)
+        s"""WITH tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
            |UNION
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " "),
