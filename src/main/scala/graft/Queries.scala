@@ -178,6 +178,17 @@ object Queries {
           count(lit(1)).as("cnt"))
     }),
 
+    // --- A8: scalable two-stage distinct count. countDistinct holds all
+    //     values per key in one reducer; the pre-distinct form spreads the
+    //     value space over the cluster first (the distinct analog of the
+    //     salted rollup — this is the shape that survives a hot key whose
+    //     distinct set doesn't fit one executor). ---
+    "q_twostage_distinct" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    }),
+
     // --- O2: per-group top-k (rank window + filter) ---
     "q_topk_per_group" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
@@ -242,6 +253,8 @@ object Queries {
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt FROM events GROUP BY ROLLUP(date_trunc('hour', ts), event_type)",
     "q_distinct_agg" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt FROM events GROUP BY 1",
+    "q_twostage_distinct" ->
+      "SELECT event_type, count(*) AS n_users FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1",
     "q_topk_per_group" ->
       """SELECT event_type, user_id, cnt, rnk FROM (
         |  SELECT event_type, user_id, count(*) AS cnt,
