@@ -121,6 +121,26 @@ object Rollup {
       .agg(pivoted.head, pivoted.tail: _*)
   }
 
+  /** Scalable exact distinct-count per key: pre-distinct on (keys, value)
+    * spreads the value space across the cluster before counting — the
+    * distinct analog of the salted rollup. `countDistinct` would pull every
+    * distinct value of a hot key into one reducer's hash set; this shape
+    * never materializes a per-key value set anywhere.
+    */
+  def distinctCounts(
+      df: DataFrame,
+      valueCol: String,
+      dims: Seq[String] = Nil,
+      windowSize: String = "minute"
+  ): DataFrame = {
+    val keys = Seq("window_start", "conv_id") ++ dims
+    df.withColumn("window_start", windowStart(col("ts"), windowSize))
+      .select((keys :+ valueCol).map(col): _*)
+      .distinct()
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"n_distinct_$valueCol"))
+  }
+
   /** A5 incremental merge: existing aggregate rows ∪ new partial rows →
     * re-aggregate. Both inputs in exploded layout
     * (conv_id, window_start, window_size, dim, key, cnt). The merge is the

@@ -111,4 +111,19 @@ class RollupSpec extends SparkSpecBase {
     // turn_rank == turn_idx + 1 because turn_idx is contiguous from 0
     ordered.filter(col("turn_rank") =!= col("turn_idx") + 1).count() shouldBe 0
   }
+
+  test("two-stage distinct counts equal countDistinct (state-heavy skew shape)") {
+    val df = gen.TranscriptGen.generate(spark, 5000, 4)
+    def canon(d: org.apache.spark.sql.DataFrame, cntCol: String) =
+      d.orderBy("window_start", "conv_id").collect()
+        .map(r => (r.getString(r.fieldIndex("conv_id")),
+          r.getTimestamp(r.fieldIndex("window_start")),
+          r.getLong(r.fieldIndex(cntCol)))).toSeq
+    val twoStage = Rollup.distinctCounts(df, "tool")
+    val direct = df
+      .withColumn("window_start", Rollup.windowStart(col("ts"), "minute"))
+      .groupBy("window_start", "conv_id")
+      .agg(countDistinct(col("tool")).as("n"))
+    canon(twoStage, "n_distinct_tool") shouldBe canon(direct, "n")
+  }
 }
