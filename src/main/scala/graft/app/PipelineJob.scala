@@ -59,21 +59,19 @@ object PipelineJob {
     val committed = Checkpoint.read(checkpointDir).map(_.committedSet).getOrElse(Set.empty)
     val prior = Checkpoint.read(checkpointDir)
 
-    // --- ingest + resume filter (partition = minute window key) ---
+    // --- ingest + resume filter (partition = minute window key).
+    //     No pre-scan: committed windows are filtered out inline (their rows
+    //     drop right after the scan projection), and the set of windows this
+    //     run actually processed is read back from the written routed state.
+    //     This keeps every run at exactly one pass over the input. ---
     val withWindow = raw
       .withColumn("window_start", Rollup.windowStart(col("ts"), config.windowSize))
       .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
     val timer = new PhaseTimer
-    val windowKeys = timer("scan_windows") {
-      withWindow.select("window_key").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-    }
-    val todo = windowKeys.filterNot(committed)
-    if (todo.isEmpty)
-      return Result(prior.map(_.metrics).getOrElse(Map.empty), Map.empty, Nil)
+    val committedSeq = committed.toSeq.sorted
     val scoped =
-      if (todo.size == windowKeys.size) withWindow
-      else withWindow.filter(col("window_key").isin(todo: _*))
+      if (committed.isEmpty) withWindow
+      else withWindow.filter(!col("window_key").isin(committedSeq: _*))
 
     // --- D1 row-level dedup (idempotency analog of the reference's
     //     create-if-not-exists batch guard, log_batch_store.go:42-59) ---
@@ -105,11 +103,13 @@ object PipelineJob {
     // run's windows only (partition-pruned + column-pruned scan — an
     // incremental run must never rescan the whole history table).
     val routeWindowCounts = timer("route_counts") {
-      catalog.read("routed")
-        .filter(col("window_key").isin(todo: _*))
+      val routedNow = catalog.read("routed")
+      (if (committed.isEmpty) routedNow
+       else routedNow.filter(!col("window_key").isin(committedSeq: _*)))
         .groupBy("route", "window_key").count().collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     }
+    val todo = routeWindowCounts.map(_._2).distinct.sorted.toSeq
     val routeCounts = routeWindowCounts.groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._3).sum }
     val perWindow = routeWindowCounts.groupBy(_._2).toSeq
@@ -119,9 +119,12 @@ object PipelineJob {
     //     Count derived from the two observations on the SAME pass
     //     (post-dedup rows minus valid rows) — no re-scan; the quarantine
     //     write itself only runs on the rare error path. ---
-    val rowsParsed = obs.get("rows_parsed").asInstanceOf[Long]
+    // A zero-task write (everything already committed) never fires the
+    // CollectMetrics nodes — default the observations to 0 in that case.
+    val rowsParsed =
+      obs.getAsJava.getOrDefault("rows_parsed", 0L).asInstanceOf[Long]
     val quarantined =
-      obsIn.get("rows_deduped").asInstanceOf[Long] - rowsParsed
+      obsIn.getAsJava.getOrDefault("rows_deduped", 0L).asInstanceOf[Long] - rowsParsed
     if (quarantined > 0)
       catalog.overwritePartitions(
         quarantine.withColumn("window_key",
@@ -135,16 +138,18 @@ object PipelineJob {
     //     dynamic partition overwrite replaces exactly those windows, so
     //     aggregate state for committed windows is never touched and replays
     //     of uncommitted windows converge (idempotent upsert, K2 analog). ---
-    val forAgg = catalog.read("routed").drop("text")
-      .filter(col("window_key").isin(todo: _*))
-    val obsAgg = new Observation(s"agg-$runId")
-    val exploded = Rollup.explodedRollup(forAgg, config.windowSize, config.saltBuckets)
-      .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
-      .observe(obsAgg, count(lit(1)).as("agg_rows"))
-    timer("rollup_write") {
-      catalog.overwritePartitions(exploded, "aggregates", Seq("window_key"))
+    val aggRows = if (todo.isEmpty) 0L else {
+      val forAgg = catalog.read("routed").drop("text")
+        .filter(col("window_key").isin(todo: _*))
+      val obsAgg = new Observation(s"agg-$runId")
+      val exploded = Rollup.explodedRollup(forAgg, config.windowSize, config.saltBuckets)
+        .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
+        .observe(obsAgg, count(lit(1)).as("agg_rows"))
+      timer("rollup_write") {
+        catalog.overwritePartitions(exploded, "aggregates", Seq("window_key"))
+      }
+      obsAgg.get("agg_rows").asInstanceOf[Long]
     }
-    val aggRows = obsAgg.get("agg_rows").asInstanceOf[Long]
 
     // --- per-partition lineage + metrics → atomic manifest commit.
     //     `perWindow` covers this run's windows (measured from the routed
