@@ -201,6 +201,46 @@ object Queries {
         .select("event_type", "user_id", "cnt", "rnk")
     }),
 
+    // --- M2: math/bucketing sampler (histogram of the value measure) ---
+    "q_histogram" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("value")), 2).as("avg_value"),
+          round(min(col("value")), 2).as("min_value"),
+          round(max(col("value")), 2).as("max_value"))
+    }),
+
+    // --- O3: sessionization — gap-based session ids (lag + running sum),
+    //     the classic log-analytics operator ---
+    "q_sessionize" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // ts is TIMESTAMP_NTZ from parquet; session tz is UTC so the cast is
+      // a deterministic reinterpretation.
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val gapUs = tsUs - lag(tsUs, 1).over(w)
+      val newSession = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("new_session", newSession)
+        .withColumn("session_idx",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "session_idx")
+    }),
+
+    // --- O4: as-of enrichment — attach each user's most recent PRIOR
+    //     signup timestamp (temporal point-in-time join via ignore-nulls
+    //     last over an ordered window; no shuffle beyond the window) ---
+    "q_asof_enrich" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events").select(
+        col("event_id"),
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+          .over(w).as("prev_signup_ts"))
+    }),
+
     // --- SET1: set operations (intersect / except of user sets) ---
     "q_set_ops" -> ((s: SparkSession, dir: String) => {
       val events = t(s, dir, "events")
@@ -261,6 +301,26 @@ object Queries {
         |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
         |  FROM events GROUP BY event_type, user_id)
         |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    "q_histogram" ->
+      "SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt, round(avg(value), 2) AS avg_value, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value FROM events GROUP BY 1",
+    "q_sessionize" ->
+      """SELECT event_id, user_id,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events)""".stripMargin.replace("\n", " "),
+    "q_asof_enrich" ->
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup_ts
+        |FROM events""".stripMargin.replace("\n", " "),
     "q_set_ops" ->
       """SELECT user_id, 'both' AS set_op FROM
         |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
