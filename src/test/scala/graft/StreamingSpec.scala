@@ -64,4 +64,32 @@ class StreamingSpec extends SparkSpecBase {
     written.select("route").distinct().collect().map(_.getString(0)).sorted shouldBe
       Array("assistant_turns", "privileged_tools")
   }
+
+  test("streaming windowed counts equal the batch rollup on identical data") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.gen.TranscriptGen
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val rows = TranscriptGen.generate(spark, 2000, 2)
+      .as[graft.model.Turn].collect().toSeq
+    val mem = MemoryStream[graft.model.Turn]
+    val counts = StreamingPipeline.windowedCounts(
+      StreamingPipeline.transform(spark, mem.toDF()))
+    val q = counts.writeStream.format("memory").queryName("parity_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      rows.grouped(500).foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    } finally q.stop()
+    // update-mode memory sink emits one row per state update; the final
+    // value per key is the max cnt seen
+    val streamed = spark.table("parity_counts")
+      .groupBy("window_start", "conv_id", "tool")
+      .agg(org.apache.spark.sql.functions.max("cnt").as("cnt"))
+      .orderBy("window_start", "conv_id", "tool")
+      .collect().map(_.toString).toSeq
+    val (valid, _) = graft.parse.TranscriptParse.parse(TranscriptGen.generate(spark, 2000, 2))
+    val batch = graft.agg.Rollup.counts(valid, Seq("tool"))
+      .orderBy("window_start", "conv_id", "tool")
+      .collect().map(_.toString).toSeq
+    streamed shouldBe batch
+  }
 }
