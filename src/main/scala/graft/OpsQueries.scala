@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Similarity
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -208,6 +209,17 @@ object OpsQueries {
       emb(s, dir).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .select(col("vec_id"), lshBucket.as("bucket"))
+    }),
+
+    // --- ANN3: IVF-probed approximate top-k (inverted-file index: Lloyd-
+    //     refined deterministic centroids, probe nprobe nearest cells).
+    //     No SQL oracle (iterative centroid refinement isn't expressible as
+    //     one DuckDB query) — recall vs brute force asserted in
+    //     SimilaritySpec. ---
+    "ann_ivf_topk" -> ((s: SparkSession, dir: String) => {
+      val e = Similarity.prepare(emb(s, dir))
+      Similarity.ivfTopK(s, e, queryId = 0, k = 10, nCells = 16, nprobe = 8)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
     // --- TX1: quality scoring (length / stopword ratios) ---
