@@ -62,9 +62,10 @@ object Main {
     }
 
     val t0 = System.nanoTime()
+    val dedup = opts.getOrElse("--dedup", "on") != "off"
     val result = PipelineJob.run(spark, raw, out,
       PipelineConfig(windowSize = window, saltBuckets = salt,
-        shufflePartitions = cores), runId)
+        shufflePartitions = cores, dedup = dedup), runId)
     val sec = (System.nanoTime() - t0) / 1e9
 
     val turns = result.metrics.getOrElse("rows_parsed", 0L)
