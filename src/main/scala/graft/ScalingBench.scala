@@ -87,7 +87,13 @@ object ScalingBench {
     val secHigh = median(highs)
     val tputLow = nTurns / secLow
     val tputHigh = nTurns / secHigh
-    val efficiency = (tputHigh / tputLow) / (nHigh.toDouble / nLow)
+    // Primary metric: median of PER-PAIR efficiencies. Each (low, high) pair
+    // runs back-to-back, so slow-host intervals hit both runs of a pair and
+    // cancel in the ratio; median-of-medians would compare runs from
+    // different host-noise regimes.
+    val pairEff = lows.zip(highs).map { case (l, h) => (l / h) / (nHigh.toDouble / nLow) }
+    val efficiency = median(pairEff)
+    val efficiencyOfMedians = (tputHigh / tputLow) / (nHigh.toDouble / nLow)
 
     val json =
       f"""{"n_turns":$nTurns,"cores_low":$nLow,"cores_high":$nHigh,"reps":$reps,""" +
@@ -95,7 +101,9 @@ object ScalingBench {
         f""""sec_low_all":[${lows.map(x => f"$x%.2f").mkString(",")}],""" +
         f""""sec_high_all":[${highs.map(x => f"$x%.2f").mkString(",")}],""" +
         f""""turns_per_sec_low":$tputLow%.0f,"turns_per_sec_high":$tputHigh%.0f,""" +
-        f""""scaling_efficiency":$efficiency%.3f}"""
+        f""""pair_efficiencies":[${pairEff.map(x => f"$x%.3f").mkString(",")}],""" +
+        f""""scaling_efficiency":$efficiency%.3f,""" +
+        f""""scaling_efficiency_of_medians":$efficiencyOfMedians%.3f}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
   }
