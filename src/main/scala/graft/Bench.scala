@@ -27,10 +27,15 @@ object Bench {
     // Warmup: JIT + codegen + parquet-footer caches, not measured.
     SparkEntry.queries("q_agg_minute_counts")(spark, sfDir).count()
 
+    // A failed query must never masquerade as a fast timing: record a
+    // success flag per query and surface the failed names in the output.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
     // End-to-end pipeline throughput over a pre-written parquet transcript
@@ -48,11 +53,13 @@ object Bench {
       graft.model.PipelineConfig(shufflePartitions = cpus.toInt), "bench")
     val pipeSec = (System.nanoTime() - t0) / 1e9
 
-    val all = results :+ ("pipeline_e2e" -> pipeSec)
-    val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val all = results :+ (("pipeline_e2e", pipeSec, true))
+    val qs = all.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failed = all.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = all.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -125,7 +125,7 @@ object OpsQueries {
         .select("doc_a", "doc_b")
       val cand = cand1.union(cand2).distinct()
       // Exact Jaccard verification only on the (few) candidates.
-      cand
+      val res = cand
         .join(tok.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
         .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
         .withColumn("jacc",
@@ -133,6 +133,13 @@ object OpsQueries {
             size(array_union(col("ta"), col("tb"))), 4))
         .filter(col("jacc") >= 0.5)
         .select("doc_a", "doc_b", "jacc")
+        // Eagerly materialize the (small) verified-pair result with lineage
+        // truncated, so the shingle/signature caches can be released NOW
+        // instead of leaking for the rest of the session.
+        .localCheckpoint()
+      tok.unpersist()
+      sig.unpersist()
+      res
     }),
 
     // --- DD3: MinHash + LSH banding (2 hash bands; candidates = docs
@@ -149,7 +156,9 @@ object OpsQueries {
         .select("doc_a", "doc_b")
       val p2 = a.join(b, col("b2") === col("c2") && col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
-      p1.union(p2).distinct()
+      val res = p1.union(p2).distinct().localCheckpoint()
+      sig.unpersist()
+      res
     }),
 
     // --- DD4: SimHash fingerprint (16-bit, md5-derived bit hashes) ---

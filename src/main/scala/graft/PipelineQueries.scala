@@ -54,9 +54,15 @@ object PipelineQueries {
     }),
 
     // Map-valued sink form (reference WindowAggregateResult shape).
+    // Dumped with the map columns serialized to canonical JSON (keys are
+    // already sorted by mapValued) — the driver's rows-only check sorts the
+    // frame in pandas, which cannot sort raw map/dict columns.
     "pipe_map_valued" -> ((s: SparkSession, _: String) => {
       val (valid, _) = TranscriptParse.parse(transcript(s))
       Rollup.mapValued(Rollup.explodedRollup(valid))
+        .select(col("conv_id"), col("window_start"), col("window_size"),
+          to_json(col("counts_by_tool")).as("counts_by_tool"),
+          to_json(col("counts_by_role")).as("counts_by_role"))
     }),
 
     // Multimodal decode plumbing over documents-as-blobs: mapPartitions

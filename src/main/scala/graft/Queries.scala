@@ -304,9 +304,11 @@ object Queries {
     "q_histogram" ->
       "SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt, round(avg(value), 2) AS avg_value, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value FROM events GROUP BY 1",
     "q_sessionize" ->
+      // CAST: DuckDB sum(INT) yields HUGEINT (int128) where Spark writes
+      // BIGINT — the driver's hash is dtype-sensitive, so align to BIGINT.
       """SELECT event_id, user_id,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |FROM (
         |  SELECT event_id, user_id, ts,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)

@@ -40,7 +40,8 @@ object ScalingBench {
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.size / 2)
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0 // true median for even n
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,6 +104,8 @@ object ScalingBench {
         f""""turns_per_sec_low":$tputLow%.0f,"turns_per_sec_high":$tputHigh%.0f,""" +
         f""""pair_efficiencies":[${pairEff.map(x => f"$x%.3f").mkString(",")}],""" +
         f""""scaling_efficiency":$efficiency%.3f,""" +
+        f""""scaling_efficiency_min":${pairEff.min}%.3f,""" +
+        f""""scaling_efficiency_mean":${pairEff.sum / pairEff.size}%.3f,""" +
         f""""scaling_efficiency_of_medians":$efficiencyOfMedians%.3f}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

@@ -9,15 +9,34 @@ import org.apache.spark.sql.functions._
   * one-iteration Lloyd refinement of seed vectors, probe only the nprobe
   * nearest cells.
   *
-  * All DataFrame ops: assignment is a broadcast cross-join against the
-  * (tiny) centroid table + argmin; centroid update is an element-wise mean
-  * via posexplode + groupBy(position). At 10^9 vectors the only all-data
-  * passes are the two assignment projections — no O(n²) anywhere.
+  * Scale shape: the centroid table is tiny (nCells ≤ a few hundred), so it
+  * lives on the DRIVER and is inlined into the plan as array literals.
+  * Cell assignment is then a single shuffle-free PROJECTION (argmax over
+  * nCells inlined dot products, whole-stage codegen'd); the Lloyd update is
+  * one partial-aggregated groupBy whose exchange carries only
+  * nCells × (dim+1) doubles per map task. No join, no window, no vector
+  * payload ever crosses a shuffle. (Round-1 review flagged the previous
+  * crossJoin + row_number argmin as a scale-killer — three full shuffles of
+  * 16× the dataset including payloads.)
   */
 object Similarity {
 
+  /** Driver-held IVF index: (cell id, centroid) pairs. */
+  final case class IvfModel(centroids: Seq[(Int, Array[Double])]) {
+    def dim: Int = centroids.head._2.length
+  }
+
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** dot(v, literal centroid) as a pure fold over an inlined array —
+    * codegen-friendly, no join against a centroid table.
+    */
+  private def dotLit(v: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(c.map(lit).toIndexedSeq: _*), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
 
   /** Vectors as (vec_id, v: array<double>, nrm). */
   def prepare(emb: DataFrame): DataFrame =
@@ -36,37 +55,61 @@ object Similarity {
       .select(col("vec_id"), col("cos_sim"))
   }
 
-  /** IVF index: deterministic centroids (seeds = lowest `nCells` vec_ids,
-    * one Lloyd iteration), returns (centroids, assignments).
+  /** Nearest-centroid cell of column `v` (dot-product argmax; nrm is a
+    * per-row constant so cosine and dot argmax agree). Ties break to the
+    * smallest cell id via the negated-id struct max. Pure projection.
+    */
+  def assignCell(model: IvfModel): Column = {
+    val entries = model.centroids.map { case (cell, cv) =>
+      struct(dotLit(col("v"), cv).as("d"), lit(-cell).as("negk"))
+    }
+    (-array_max(array(entries: _*)).getField("negk")).cast("int")
+  }
+
+  /** Build the IVF index: seeds = the `nCells` lowest-vec_id vectors
+    * (deterministic), refined by one Lloyd iteration. Driver work is
+    * O(nCells·dim); cluster work is one projection + one partial-agg
+    * shuffle of nCells×(dim+1) doubles.
+    */
+  def buildIvfModel(e: DataFrame, nCells: Int): IvfModel = {
+    val seeds = e.orderBy("vec_id").limit(nCells).select("v").collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    val m0 = IvfModel(seeds.toIndexedSeq)
+    val dim = m0.dim
+
+    // One Lloyd step: element-wise mean per cell via 64 map-side-combined
+    // sums — the exchange carries only the tiny per-cell partials.
+    val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+    val stats = e.select(assignCell(m0).as("cell"), col("v"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect()
+    val refined = stats.map { r =>
+      val cell = r.getInt(0)
+      val n = r.getLong(1).toDouble
+      cell -> Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+    }.sortBy(_._1)
+    // Cells that lost every vector keep their seed centroid.
+    val byCell = refined.toMap
+    IvfModel(m0.centroids.map { case (c, cv) => c -> byCell.getOrElse(c, cv) })
+  }
+
+  /** Compatibility surface: (centroids, assignments) as DataFrames.
+    * Assignments are a pure projection over `e` (no shuffle).
     */
   def buildIvf(spark: SparkSession, e: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
-    val seeds = e.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-
-    def assign(cents: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("d").desc, col("cell").asc)
-      e.crossJoin(broadcast(cents))
-        .withColumn("d", dot("v", "cv") / col("nrm")) // cosine numerator scale-free per vec
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    }
-
-    val a0 = assign(seeds)
-    // one Lloyd step: element-wise mean per cell
-    val cents1 = a0
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg("x").as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("cell"), expr("transform(ps, p -> p.m)").as("cv"))
-    val a1 = assign(cents1)
-    (cents1, a1.select("vec_id", "cell"))
+    val model = buildIvfModel(e, nCells)
+    import spark.implicits._
+    val cents = model.centroids.map { case (c, cv) => (c, cv.toSeq) }
+      .toDF("cell", "cv")
+    (cents, e.select(col("vec_id"), assignCell(model).as("cell")))
   }
 
   /** IVF-probed approximate top-k: search only the `nprobe` cells nearest
-    * to the query vector.
+    * to the query vector. Probe selection runs on the driver (nCells dot
+    * products); the cluster side is one filter+projection pass ending in
+    * TakeOrderedAndProject — no exchange before the final top-k gather.
     */
   def ivfTopK(
       spark: SparkSession,
@@ -76,18 +119,17 @@ object Similarity {
       nCells: Int = 16,
       nprobe: Int = 4
   ): DataFrame = {
-    val (cents, assign) = buildIvf(spark, e, nCells)
-    val q = e.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), col("nrm").as("qn"))
-    val probeCells = cents.crossJoin(broadcast(q))
-      .withColumn("d", dot("cv", "qv"))
-      .orderBy(col("d").desc).limit(nprobe)
-      .select("cell")
-    e.join(assign, "vec_id")
-      .join(broadcast(probeCells), "cell") // prune to probed cells
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .withColumn("cos_sim", dot("v", "qv") / (col("nrm") * col("qn")))
+    val model = buildIvfModel(e, nCells)
+    val qv = e.filter(col("vec_id") === queryId).select("v")
+      .collect()(0).getSeq[Double](0).toArray
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val probed = model.centroids
+      .map { case (c, cv) => (c, cv.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (c, d) => (-d, c) }
+      .take(nprobe).map(_._1).toSet
+    e.withColumn("cell", assignCell(model))
+      .filter(col("cell").isin(probed.toSeq: _*) && col("vec_id") =!= queryId)
+      .withColumn("cos_sim", dotLit(col("v"), qv) / (col("nrm") * lit(qn)))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("cos_sim"))
