@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Lsh, MinHash, Similarity}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -59,38 +59,25 @@ object OpsQueries {
       |         string_split(lower(text), ' ')[i + 2]))
       |ELSE [] END""".stripMargin.replace("\n", " ")
 
-  private val SimhashBits = 16
+  /** 64-bit SimHash (round 1 was 16-bit; 64 is the standard fingerprint
+    * width). Per-word bits come from the md5 hex digest parsed as two 32-bit
+    * halves — one conv() per half instead of 64 per-character probes.
+    */
+  private val SimhashBits = 64
 
   /** dot(a, b) for double arrays via sequential fold (deterministic order). */
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
-  /** 4-bit LSH bucket of a double-array column `v`: sign bits of dots with 4
-    * fixed ±1-block hyperplanes (Hadamard-style), computed via slice sums.
+  /** Default LSH/banding parameters for the oracle-checked queries. The
+    * knobs themselves (bits, bands, rows) are caller-set on Lsh/MinHash —
+    * ParamSpec exercises other settings.
     */
-  private def lshBucket: Column = {
-    def sliceSum(start: Int, len: Int): Column =
-      expr(s"aggregate(slice(v, $start, $len), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-    val p0 = sliceSum(1, 32) - sliceSum(33, 32)
-    val p1 = sliceSum(1, 16) - sliceSum(17, 16) + sliceSum(33, 16) - sliceSum(49, 16)
-    val p2 = (0 until 4).map(k => sliceSum(16 * k + 1, 8) - sliceSum(16 * k + 9, 8)).reduce(_ + _)
-    val p3 = (0 until 8).map(k => sliceSum(8 * k + 1, 4) - sliceSum(8 * k + 5, 4)).reduce(_ + _)
-    when(p0 > 0, 1).otherwise(0) + when(p1 > 0, 2).otherwise(0) +
-      when(p2 > 0, 4).otherwise(0) + when(p3 > 0, 8).otherwise(0)
-  }
-
-  /** DuckDB mirror of [[lshBucket]] over a DOUBLE[] column `v`. */
-  private def lshBucketSqlDuck: String = {
-    def ss(a: Int, b: Int) = s"list_sum(v[$a:$b])"
-    val p0 = s"${ss(1, 32)} - ${ss(33, 64)}"
-    val p1 = s"${ss(1, 16)} - ${ss(17, 32)} + ${ss(33, 48)} - ${ss(49, 64)}"
-    val p2 = (0 until 4).map(k =>
-      s"${ss(16 * k + 1, 16 * k + 8)} - ${ss(16 * k + 9, 16 * k + 16)}").mkString(" + ")
-    val p3 = (0 until 8).map(k =>
-      s"${ss(8 * k + 1, 8 * k + 4)} - ${ss(8 * k + 5, 8 * k + 8)}").mkString(" + ")
-    s"(CASE WHEN $p0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN $p1 > 0 THEN 2 ELSE 0 END) + " +
-      s"(CASE WHEN $p2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN $p3 > 0 THEN 8 ELSE 0 END)"
-  }
+  private val LshBits = 4
+  private val NeardupBands = 4
+  private val NeardupRBits = 6
+  private val MinhashBands = 2
+  private val MinhashRows = 1
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -106,24 +93,13 @@ object OpsQueries {
     //     candidate. An all-pairs Jaccard would be O(n²·|shingles|) — dead at
     //     100 TB; this is O(n·|shingles|) + O(candidates). ---
     "dd_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
-      // Persist: O(n_docs) rows; without it the join pushes IsNotNull(sig)
-      // into the scan and re-evaluates the whole shingle+md5 tree
+      // Persist: O(n_docs) rows; without it the verification joins push
+      // IsNotNull into the scan and re-evaluate the whole shingle tree
       // (interpreted!) once per join side — measured 10× slower.
       val tok = docShingles(s, dir).persist()
-      // Per-row MinHash via array fold — NO explode, NO groupBy shuffle;
-      // only the two 32-char minima ever leave the map task.
-      val sig = tok.select(col("doc_id"),
-        expr("array_min(transform(toks, w -> md5(concat(w, 's1'))))").as("b1"),
-        expr("array_min(transform(toks, w -> md5(concat(w, 's2'))))").as("b2"))
-        .persist()
-      val a = sig.select(col("doc_id").as("doc_a"), col("b1"), col("b2"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("b1").as("c1"),
-        col("b2").as("c2"))
-      val cand1 = a.join(b, col("b1") === col("c1") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-      val cand2 = a.join(b, col("b2") === col("c2") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-      val cand = cand1.union(cand2).distinct()
+      val cand = MinHash.candidatePairs(tok, "doc_id", "toks",
+        MinhashBands, MinhashRows)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       // Exact Jaccard verification only on the (few) candidates.
       val res = cand
         .join(tok.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
@@ -134,60 +110,56 @@ object OpsQueries {
         .filter(col("jacc") >= 0.5)
         .select("doc_a", "doc_b", "jacc")
         // Eagerly materialize the (small) verified-pair result with lineage
-        // truncated, so the shingle/signature caches can be released NOW
-        // instead of leaking for the rest of the session.
+        // truncated, so the shingle cache can be released NOW instead of
+        // leaking for the rest of the session.
         .localCheckpoint()
       tok.unpersist()
-      sig.unpersist()
       res
     }),
 
-    // --- DD3: MinHash + LSH banding (2 hash bands; candidates = docs
-    //     sharing a band minimum; equi-join per band, union, distinct) ---
+    // --- DD3: MinHash + LSH banding (parameterized b bands × r rows via
+    //     graft.ops.MinHash; candidates = docs sharing any band hash) ---
     "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
-      val sig = docShingles(s, dir).select(col("doc_id"),
-        expr("array_min(transform(toks, w -> md5(concat(w, 's1'))))").as("b1"),
-        expr("array_min(transform(toks, w -> md5(concat(w, 's2'))))").as("b2"))
-        .persist() // break lineage so band joins don't re-run the md5 tree
-      val a = sig.select(col("doc_id").as("doc_a"), col("b1"), col("b2"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("b1").as("c1"),
-        col("b2").as("c2"))
-      val p1 = a.join(b, col("b1") === col("c1") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-      val p2 = a.join(b, col("b2") === col("c2") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-      val res = p1.union(p2).distinct().localCheckpoint()
-      sig.unpersist()
-      res
+      MinHash.candidatePairs(docShingles(s, dir), "doc_id", "toks",
+        MinhashBands, MinhashRows)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     }),
 
-    // --- DD4: SimHash fingerprint (16-bit, md5-derived bit hashes) ---
+    // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
+    //     digest is parsed as two 32-bit halves so each word costs two
+    //     conv() calls, not 64 per-character probes) ---
     "dd_simhash" -> ((s: SparkSession, dir: String) => {
       val words = docs(s, dir).select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("w"))
         .withColumn("h", md5(col("w")))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("hA"),
+          expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("hB"))
       val bitSums = (0 until SimhashBits).map { i =>
-        sum(when(expr(s"ascii(substring(h, ${i + 1}, 1)) % 2") === 1, 1)
-          .otherwise(-1)).as(s"v$i")
+        val (src, sh) = if (i < 32) ("hA", i) else ("hB", i - 32)
+        sum(when(expr(s"(shiftright($src, $sh) & 1) = 1"), 1).otherwise(-1))
+          .as(s"v$i")
       }
       val summed = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      // Bitwise OR, not +: bit 63's term is Long.MinValue and an arithmetic
+      // sum could overflow; each term owns one distinct bit so OR is exact.
       val fp = (0 until SimhashBits).map { i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      }.reduce(_ bitwiseOR _)
       summed.select(col("doc_id"), fp.as("simhash"))
     }),
 
-    // --- DD5: embedding-cosine near-dup pairs (brute force; the LSH
-    //     bucket op below is the scale path) ---
+    // --- DD5: embedding-cosine near-dup pairs (single LshBits-bit bucket;
+    //     the multi-band variant below is the recall/scale path) ---
     "emb_neardup_cosine" -> ((s: SparkSession, dir: String) => {
-      // LSH-bucketed near-dup: candidates = vectors sharing the 4-hyperplane
-      // LSH bucket (equi-join — O(n²/buckets) pairs instead of O(n²)), then
-      // exact cosine verifies each candidate. Norms precomputed per vector so
-      // a candidate pair costs exactly one 64-element dot product.
+      // LSH-bucketed near-dup: candidates = vectors sharing the sign-bucket
+      // (equi-join — O(n²/2^bits) pairs instead of O(n²)), then exact cosine
+      // verifies each candidate. Norms precomputed per vector so a candidate
+      // pair costs exactly one 64-element dot product.
       val e = emb(s, dir).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", sqrt(dot("v", "v")))
-        .withColumn("bucket", lshBucket)
+        .withColumn("bucket", Lsh.bucket(col("v"), LshBits))
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na"), col("bucket"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -197,6 +169,38 @@ object OpsQueries {
         .withColumn("cos_sim", dot("va", "vb") / (col("na") * col("nb")))
         .filter(col("cos_sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // --- DD6: multi-band embedding near-dup (NeardupBands bands ×
+    //     NeardupRBits bits): the production-recall shape. The band
+    //     self-join carries only (vec_id, band_idx, band_val) — candidate
+    //     ids are deduped across bands BEFORE any vector payload moves, then
+    //     exactly one cosine verifies each pair. ---
+    "emb_neardup_banded" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(dot("v", "v")))
+        .persist()
+      val banded = e.select(col("vec_id"),
+        posexplode(Lsh.bands(col("v"), NeardupBands, NeardupRBits))
+          .as(Seq("band_idx", "band_val")))
+        .persist()
+      val a = banded.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_val"))
+      val b = banded.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_val"))
+      val cand = a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+      val res = cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+        .withColumn("cos_sim", dot("va", "vb") / (col("na") * col("nb")))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+        .localCheckpoint()
+      banded.unpersist()
+      e.unpersist()
+      res
     }),
 
     // --- ANN1: brute-force cosine top-k against a fixed query vector ---
@@ -212,12 +216,12 @@ object OpsQueries {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
-    // --- ANN2: LSH bucket assignment (4 fixed ±1-block hyperplanes via
-    //     slice sums — the bucketed-join scale path for ANN) ---
+    // --- ANN2: LSH bucket assignment (parameterized Hadamard-mask sign
+    //     projections — the bucketed-join scale path for ANN) ---
     "ann_lsh_buckets" -> ((s: SparkSession, dir: String) => {
       emb(s, dir).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .select(col("vec_id"), lshBucket.as("bucket"))
+        .select(col("vec_id"), Lsh.bucket(col("v"), LshBits).as("bucket"))
     }),
 
     // --- ANN3: IVF-probed approximate top-k (inverted-file index: Lloyd-
@@ -290,11 +294,19 @@ object OpsQueries {
 
   def oracleSql: Map[String, String] = {
     val simhashSums = (0 until SimhashBits).map { i =>
-      s"sum(CASE WHEN ascii(substring(h, ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$i"
+      val (src, sh) = if (i < 32) ("hA", i) else ("hB", i - 32)
+      s"sum(CASE WHEN (($src >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS v$i"
     }.mkString(", ")
+    // Bit 63 via the BIGINT min literal (1::BIGINT << 63 overflows in
+    // DuckDB); bitwise | keeps the whole fold in BIGINT.
     val simhashFp = (0 until SimhashBits).map { i =>
-      s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+      if (i == 63) s"(CASE WHEN v$i > 0 THEN (-9223372036854775808)::BIGINT ELSE 0::BIGINT END)"
+      else s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+    val bandedBB = (0 until NeardupBands).map { j =>
+      s"SELECT vec_id, $j AS band_idx, " +
+        s"${Lsh.bandSqlDuck("v", NeardupBands, NeardupRBits, j)} AS band_val FROM e"
+    }.mkString(" UNION ALL ")
     Map(
       "dd_exact_dup" ->
         "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc FROM documents GROUP BY 1",
@@ -317,11 +329,12 @@ object OpsQueries {
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " "),
       "dd_simhash" ->
         s"""WITH w AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents),
-           |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY doc_id)
+           |hh AS (SELECT doc_id, ('0x' || substring(h, 1, 8))::BIGINT AS hA, ('0x' || substring(h, 9, 8))::BIGINT AS hB FROM w),
+           |b AS (SELECT doc_id, $simhashSums FROM hh GROUP BY doc_id)
            |SELECT doc_id, $simhashFp AS simhash FROM b""".stripMargin.replace("\n", " "),
       "emb_neardup_cosine" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |eb AS (SELECT vec_id, v, $lshBucketSqlDuck AS bucket FROM e)
+           |eb AS (SELECT vec_id, v, ${Lsh.bucketSqlDuck("v", LshBits)} AS bucket FROM e)
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |  round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
            |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -336,7 +349,16 @@ object OpsQueries {
           |LIMIT 10""".stripMargin.replace("\n", " "),
       "ann_lsh_buckets" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-           |SELECT vec_id, $lshBucketSqlDuck AS bucket FROM e""".stripMargin.replace("\n", " "),
+           |SELECT vec_id, ${Lsh.bucketSqlDuck("v", LshBits)} AS bucket FROM e""".stripMargin.replace("\n", " "),
+      "emb_neardup_banded" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |bb AS ($bandedBB),
+           |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bb a JOIN bb b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+           |SELECT c.vec_a, c.vec_b,
+           |  round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+           |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+           |WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""".stripMargin.replace("\n", " "),
       "tx_quality" ->
         """SELECT doc_id,
           |  len(string_split(lower(text), ' ')) AS n_words,

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized MinHash + LSH banding over a token-array column.
+  *
+  * Signature = `numPerms` salted-md5 minima, computed per row by an array
+  * fold (array_min over transform) — NO explode, NO groupBy: only the
+  * 32-char minima leave the map task. Banding groups `rows` consecutive
+  * signature components per band (b bands × r rows, numPerms = b·r);
+  * candidate pairs share at least one (band_idx, band_hash).
+  *
+  * The (bands, rows) knobs trade recall vs candidate volume the standard
+  * way: P(candidate) = 1 - (1 - J^r)^b for Jaccard J. Round-1 review asked
+  * for exactly this parameterization (the fixed 2-perm/2-band form had
+  * production-recall far below b×r banding).
+  */
+object MinHash {
+
+  /** Per-row signature columns mh1..mhN over token-array column `toksCol`. */
+  def signature(toksCol: String, numPerms: Int): Seq[Column] =
+    (1 to numPerms).map { k =>
+      expr(s"array_min(transform($toksCol, w -> md5(concat(w, 's$k'))))").as(s"mh$k")
+    }
+
+  /** Band-hash array: band j = md5 of the '|'-joined rows of that band. */
+  def bandArray(bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      md5(concat_ws("|", (j * rows + 1 to (j + 1) * rows).map(k => col(s"mh$k")): _*))
+    }: _*)
+
+  /** Candidate near-dup pairs (id_a < id_b) of `docs(idCol, toksCol)` under
+    * (bands × rows) MinHash banding. The band self-join carries ONLY
+    * (id, band_idx, band_hash) — token payloads never cross the shuffle;
+    * callers re-join toks by id for verification.
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      toksCol: String,
+      bands: Int,
+      rows: Int
+  ): DataFrame = {
+    // Persist the exploded signature: a self-join otherwise pushes
+    // IsNotNull(band_hash) into both scan sides and re-evaluates the whole
+    // md5-over-shingles tree interpreted, once per side (measured 10× in
+    // round 1). The cache is released as soon as the (small) pair set is
+    // materialized via localCheckpoint.
+    val sig = docs.select(col(idCol) +: signature(toksCol, bands * rows): _*)
+      .select(col(idCol), posexplode(bandArray(bands, rows)).as(Seq("band_idx", "band_hash")))
+      .persist()
+    val a = sig.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
+    val b = sig.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint()
+    sig.unpersist()
+    pairs
+  }
+
+  // --- DuckDB mirrors (generated from the same bands/rows) ---
+
+  /** SQL for the signature CTE columns mh1..mhN over a list column expr. */
+  def signatureSqlDuck(toksExpr: String, numPerms: Int): String =
+    (1 to numPerms).map { k =>
+      s"list_min(list_transform($toksExpr, w -> md5(w || 's$k'))) AS mh$k"
+    }.mkString(", ")
+
+  /** SQL expr for band j's hash over mh columns. */
+  def bandHashSqlDuck(bands: Int, rows: Int, band: Int): String = {
+    val parts = (band * rows + 1 to (band + 1) * rows).map(k => s"mh$k")
+    if (parts.size == 1) s"md5(${parts.head})"
+    else s"md5(${parts.mkString(" || '|' || ")})"
+  }
+}
