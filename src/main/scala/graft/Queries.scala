@@ -241,6 +241,64 @@ object Queries {
           .over(w).as("prev_signup_ts"))
     }),
 
+    // --- P1b: array-of-struct JSON batch ingest with per-entry
+    //     index-addressed errors (reference parses a JSON ARRAY body into
+    //     entries and reports `item at index i: field` errors,
+    //     ingestion_service.go:156-231). A JSON array "request body" is
+    //     assembled per user (deterministic element order), then parsed
+    //     back via from_json(array<struct>) + posexplode and each entry is
+    //     validated with an `entries[i].k`-addressed error. ---
+    "q_json_batch_ingest" -> ((s: SparkSession, dir: String) => {
+      val body = t(s, dir, "events")
+        .filter(col("props").isNotNull)
+        .groupBy("user_id")
+        .agg(concat(lit("["),
+          concat_ws(",", array_sort(collect_list(col("props")))),
+          lit("]")).as("body"))
+      body
+        .select(col("user_id"),
+          posexplode(from_json(col("body"), "array<struct<k:int>>",
+            Map.empty[String, String])).as(Seq("entry_idx", "entry")))
+        .select(col("user_id"), col("entry_idx").cast("long").as("entry_idx"),
+          col("entry.k").as("k"))
+        .withColumn("error_code",
+          when(col("k").isNull, lit("ING_1000"))
+            .when(col("k") > 90, lit("ING_1001"))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("error_field",
+          when(col("error_code").isNotNull,
+            concat(lit("entries["), col("entry_idx"), lit("].k"))))
+    }),
+
+    // --- J2: two-table as-of join — facts pick up the most recent prior
+    //     dim-history row (union + one-window plan; DuckDB native ASOF JOIN
+    //     is the oracle) ---
+    "q_asof_join" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.AsOfJoin
+      val events = t(s, dir, "events")
+      val dims = events.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("value").as("status_value"))
+      val facts = events.filter(col("event_type") =!= "signup")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.asof(facts, dims, Seq("user_id"), "ts", Seq("status_value"))
+        .select("event_id", "status_value")
+    }),
+
+    // --- E1b: error taxonomy — code → (category, http_status) surface
+    //     (reference svcerrors categories + code tables) ---
+    "q_error_taxonomy" -> ((s: SparkSession, dir: String) => {
+      import graft.model.ErrorTaxonomy
+      val code = when(col("value").isNull || col("props").isNull, lit("ING_1000"))
+        .when(col("value") < 0 || col("value") > 150, lit("ING_1001"))
+        .when(length(col("props")) > 8, lit("ING_1002"))
+      t(s, dir, "events").withColumn("error_code", code)
+        .filter(col("error_code").isNotNull)
+        .withColumn("category", ErrorTaxonomy.category(col("error_code")))
+        .withColumn("http_status", ErrorTaxonomy.httpStatus(col("error_code")))
+        .groupBy("error_code", "category", "http_status")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // --- SET1: set operations (intersect / except of user sets) ---
     "q_set_ops" -> ((s: SparkSession, dir: String) => {
       val events = t(s, dir, "events")
@@ -323,6 +381,35 @@ object Queries {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup_ts
         |FROM events""".stripMargin.replace("\n", " "),
+    "q_json_batch_ingest" ->
+      """WITH b AS (
+        |  SELECT user_id, props,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY props) - 1 AS entry_idx
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT user_id, entry_idx,
+        |  json_extract_string(props, '$.k')::INT AS k,
+        |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'ING_1000'
+        |       WHEN json_extract_string(props, '$.k')::INT > 90 THEN 'ING_1001' END AS error_code,
+        |  CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |         OR json_extract_string(props, '$.k')::INT > 90
+        |       THEN 'entries[' || entry_idx || '].k' END AS error_field
+        |FROM b""".stripMargin.replace("\n", " "),
+    "q_asof_join" ->
+      """WITH d AS (SELECT user_id, ts, max(value) AS status_value
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |f AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup')
+        |SELECT f.event_id, d.status_value
+        |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts""".stripMargin.replace("\n", " "),
+    "q_error_taxonomy" -> {
+      import graft.model.ErrorTaxonomy
+      val cat = ErrorTaxonomy.categorySqlDuck("error_code")
+      val http = ErrorTaxonomy.httpStatusSqlDuck("error_code")
+      s"""WITH c AS (SELECT CASE WHEN value IS NULL OR props IS NULL THEN 'ING_1000'
+         |  WHEN value < 0 OR value > 150 THEN 'ING_1001'
+         |  WHEN length(props) > 8 THEN 'ING_1002' END AS error_code FROM events)
+         |SELECT error_code, $cat AS category, $http AS http_status, count(*) AS cnt
+         |FROM c WHERE error_code IS NOT NULL GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+    },
     "q_set_ops" ->
       """SELECT user_id, 'both' AS set_op FROM
         |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'

@@ -74,4 +74,51 @@ final case class PipelineConfig(
     s"invalid window size: $windowSize" // reference: internal/models/window_size.go:15-24
   )
   require(saltBuckets > 0, "saltBuckets must be positive")
+  require(maxTextLen > 0, "maxTextLen must be positive")
+  require(shufflePartitions > 0, "shufflePartitions must be positive")
+}
+
+/** File-based config load with field-addressed validation errors
+  * (reference analog: internal/shared/configs/load_config.go:13-42 — read
+  * file, unmarshal, validate each field, report readable `field: problem`
+  * messages). Format: `key = value` lines, `#` comments; unknown keys are
+  * rejected rather than silently ignored.
+  */
+object PipelineConfig {
+  private val keys = Set(
+    "windowSize", "saltBuckets", "maxTextLen", "maxToolLen",
+    "shufflePartitions", "dedup")
+
+  def fromFile(path: String): PipelineConfig = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    val kv = lines.map { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => k.trim -> v.trim
+        case _ => throw new IllegalArgumentException(
+          s"config parse failed: expected 'key = value', got: $l")
+      }
+    }.toMap
+    val unknown = kv.keySet -- keys
+    require(unknown.isEmpty,
+      s"config validation failed: unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+
+    def int(k: String, default: Int): Int = kv.get(k).map { v =>
+      try v.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$k: must be an integer, got: $v")
+      }
+    }.getOrElse(default)
+
+    val d = PipelineConfig()
+    PipelineConfig(
+      windowSize = kv.getOrElse("windowSize", d.windowSize),
+      saltBuckets = int("saltBuckets", d.saltBuckets),
+      maxTextLen = int("maxTextLen", d.maxTextLen),
+      maxToolLen = int("maxToolLen", d.maxToolLen),
+      shufflePartitions = int("shufflePartitions", d.shufflePartitions),
+      dedup = kv.get("dedup").map(_.toBoolean).getOrElse(d.dedup)
+    )
+  }
 }
