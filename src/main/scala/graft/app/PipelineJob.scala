@@ -56,26 +56,44 @@ object PipelineJob {
   ): Result = {
     val catalog = new TranscriptCatalog(catalogRoot, spark)
     val checkpointDir = s"$catalogRoot/_checkpoint"
-    val committed = Checkpoint.read(checkpointDir).map(_.committedSet).getOrElse(Set.empty)
     val prior = Checkpoint.read(checkpointDir)
+    val committed = prior.map(_.committedSet).getOrElse(Set.empty)
+    val watermark = prior.map(_.watermark).getOrElse("")
 
     // --- ingest + resume filter (partition = minute window key).
     //     No pre-scan: committed windows are filtered out inline (their rows
     //     drop right after the scan projection), and the set of windows this
     //     run actually processed is read back from the written routed state.
-    //     This keeps every run at exactly one pass over the input. ---
+    //     This keeps every run at exactly one pass over the input.
+    //     The filter is ONE range compare (windows at or below the watermark
+    //     are closed — committed long ago and folded out of the manifest)
+    //     plus an isin over the bounded recent-window set, so its plan size
+    //     stays O(maxLineageWindows) over unbounded horizons. ---
+    val obsRaw = new Observation(s"input-$runId")
     val withWindow = raw
       .withColumn("window_start", Rollup.windowStart(col("ts"), config.windowSize))
       .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
+      .observe(obsRaw, count(lit(1)).as("rows_input"))
     val timer = new PhaseTimer
     val committedSeq = committed.toSeq.sorted
+    val afterWatermark =
+      if (watermark.isEmpty) withWindow
+      else withWindow.filter(col("window_key") > watermark)
+    val obsIn = new Observation(s"ingest-$runId")
     val scoped =
-      if (committed.isEmpty) withWindow
-      else withWindow.filter(!col("window_key").isin(committedSeq: _*))
+      (if (committed.isEmpty) afterWatermark
+       else afterWatermark.filter(!col("window_key").isin(committedSeq: _*)))
+        .observe(obsIn, count(lit(1)).as("rows_ingested"))
+
+    // --- E1 validation split BEFORE dedup: invalid rows may carry null key
+    //     fields and would collapse under the dedup key instead of being
+    //     quarantined verbatim (round-1 advice). ---
+    val (validRaw, quarantine) = TranscriptParse.classify(scoped, config.maxTextLen)
+    val obsValid = new Observation(s"valid-$runId")
+    val valid = validRaw.observe(obsValid, count(lit(1)).as("rows_valid"))
 
     // --- D1 row-level dedup (idempotency analog of the reference's
     //     create-if-not-exists batch guard, log_batch_store.go:42-59) ---
-    val obsIn = new Observation(s"ingest-$runId")
     // Sort-based dedup (row_number over the key) instead of dropDuplicates:
     // dropDuplicates is a hash aggregate whose per-key buffer carries EVERY
     // column (first() of the wide text column in a 50M-entry hash map —
@@ -83,17 +101,29 @@ object PipelineJob {
     // shuffles once and external-SORTS, which spills sequentially.
     val dedupWindow = org.apache.spark.sql.expressions.Window
       .partitionBy("conv_id", "turn_idx").orderBy("ts")
+    val obsDedup = new Observation(s"dedup-$runId")
     val deduped =
       (if (config.dedup)
-        scoped.withColumn("__rn", row_number().over(dedupWindow))
+        valid.withColumn("__rn", row_number().over(dedupWindow))
           .filter(col("__rn") === 1).drop("__rn")
-      else scoped)
-        .observe(obsIn, count(lit(1)).as("rows_deduped"))
+      else valid)
+        .observe(obsDedup, count(lit(1)).as("rows_deduped"))
 
-    // --- parse (keep text through routing so sinks carry the raw turn) ---
-    val (parsed0, quarantine) = TranscriptParse.parseKeepText(deduped, config.maxTextLen)
-    val obs = new Observation(s"parse-$runId")
-    val parsed = parsed0.observe(obs, count(lit(1)).as("rows_parsed"))
+    // --- parse extraction (row-preserving; keeps text through routing so
+    //     sinks carry the raw turn) ---
+    val parsed = TranscriptParse.extract(deduped)
+
+    // --- crash-recovery GC: partitions written by a run that died before
+    //     its manifest commit are orphans. A replay with different data (or
+    //     a route that now produces no rows) would never overwrite them, so
+    //     they would leak into route counts, lineage, and aggregates —
+    //     delete every uncommitted window partition up front. ---
+    val gcCount = timer("partition_gc") {
+      Seq("routed", "aggregates").map { t =>
+        catalog.dropPartitions(t, "window_key",
+          wk => wk > watermark && !committed.contains(wk)).size
+      }.sum
+    }
 
     // --- enrich (broadcast dims) ---
     val enriched = Enrich.enrich(parsed, spark)
@@ -114,8 +144,11 @@ object PipelineJob {
     // incremental run must never rescan the whole history table).
     val routeWindowCounts = timer("route_counts") {
       val routedNow = catalog.read("routed")
-      (if (committed.isEmpty) routedNow
-       else routedNow.filter(!col("window_key").isin(committedSeq: _*)))
+      val afterWm =
+        if (watermark.isEmpty) routedNow
+        else routedNow.filter(col("window_key") > watermark)
+      (if (committed.isEmpty) afterWm
+       else afterWm.filter(!col("window_key").isin(committedSeq: _*)))
         .groupBy("route", "window_key").count().collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     }
@@ -126,15 +159,21 @@ object PipelineJob {
       .map { case (w, v) => Checkpoint.PartitionLineage(w, v.map(_._3).sum) }
 
     // --- quarantine sink (error rows with code column, E1 analog).
-    //     Count derived from the two observations on the SAME pass
-    //     (post-dedup rows minus valid rows) — no re-scan; the quarantine
-    //     write itself only runs on the rare error path. ---
+    //     All row counts derive from observations on the SAME single pass —
+    //     no re-scan; the quarantine write itself only runs on the rare
+    //     error path. ---
     // A zero-task write (everything already committed) never fires the
     // CollectMetrics nodes — default the observations to 0 in that case.
-    val rowsParsed =
-      obs.getAsJava.getOrDefault("rows_parsed", 0L).asInstanceOf[Long]
-    val quarantined =
-      obsIn.getAsJava.getOrDefault("rows_deduped", 0L).asInstanceOf[Long] - rowsParsed
+    def obsVal(o: Observation, k: String): Long =
+      o.getAsJava.getOrDefault(k, 0L).asInstanceOf[Long]
+    val rowsInput = obsVal(obsRaw, "rows_input")
+    val rowsIngested = obsVal(obsIn, "rows_ingested")
+    val rowsValid = obsVal(obsValid, "rows_valid")
+    val rowsParsed = obsVal(obsDedup, "rows_deduped") // extraction preserves rows
+    val quarantined = rowsIngested - rowsValid
+    // The reference's most-watched operational counter: rows dropped as
+    // duplicates (its 409 already-processed analog, ingestion_service.go:79-83).
+    val duplicatesDropped = rowsValid - rowsParsed
     if (quarantined > 0)
       catalog.overwritePartitions(
         quarantine.withColumn("window_key",
@@ -169,14 +208,25 @@ object PipelineJob {
     val priorParts = prior.map(_.committedPartitions).getOrElse(Nil)
       .filterNot(p => todo.contains(p.partition))
     val metrics = Map(
+      "rows_input" -> rowsInput,
+      "rows_ingested" -> rowsIngested,
+      "rows_skipped" -> (rowsInput - rowsIngested), // committed replays + late
       "rows_parsed" -> rowsParsed,
       "rows_quarantined" -> quarantined,
+      "rows_duplicates_dropped" -> duplicatesDropped,
       "rows_routed" -> routeCounts.values.sum,
       "agg_rows" -> aggRows,
-      "windows_processed" -> todo.size.toLong
+      "windows_processed" -> todo.size.toLong,
+      "partitions_gc" -> gcCount.toLong
     ) ++ routeCounts.map { case (k, v) => s"route_$k" -> v } ++ timer.metrics
+    // Manifest compaction keeps at most maxLineageWindows recent entries;
+    // older committed windows fold into the watermark. The FULL per-run
+    // lineage stays queryable via the append-only `lineage` table below.
     Checkpoint.write(checkpointDir,
-      Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition), metrics))
+      Checkpoint.compact(
+        Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition),
+          metrics, watermark, prior.map(_.foldedRows).getOrElse(0L)),
+        config.maxLineageWindows))
 
     // M1 analog: the reference exposes counters via GET /metrics
     // (internal/shared/metrics/metrics.go:41-50); the batch engine's read
@@ -186,6 +236,14 @@ object PipelineJob {
       metrics.toSeq.sortBy(_._1).map { case (k, v) => (runId, k, v) }
         .toDF("run_id", "metric", "value"),
       "metrics")
+    // Append-only per-run lineage history (manifest compaction folds old
+    // windows, so the durable record of every (run, window, rows) lives
+    // here — O(runs) storage, never round-tripped through driver memory).
+    if (perWindow.nonEmpty)
+      catalog.append(
+        perWindow.map(p => (runId, p.partition, p.rows))
+          .toDF("run_id", "window_key", "rows"),
+        "lineage")
 
     Result(metrics, routeCounts, todo)
   }

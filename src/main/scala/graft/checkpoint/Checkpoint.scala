@@ -16,12 +16,40 @@ import scala.jdk.CollectionConverters._
 object Checkpoint {
 
   final case class PartitionLineage(partition: String, rows: Long)
+
+  /** `watermark`: every window key <= watermark is committed and CLOSED —
+    * its lineage has been folded out of the manifest (into `foldedRows`)
+    * and late data for it is dropped by the resume filter. Keeps both the
+    * manifest and the resume predicate bounded at minute granularity over
+    * unbounded horizons: the filter is one range compare plus an isin over
+    * at most `maxLineageWindows` recent keys, instead of an IN list that
+    * grows forever (round-1 advice). Full per-run lineage history stays
+    * queryable in the append-only `lineage` table.
+    */
   final case class Manifest(
       runId: String,
       committedPartitions: Seq[PartitionLineage],
-      metrics: Map[String, Long]
+      metrics: Map[String, Long],
+      watermark: String = "",
+      foldedRows: Long = 0L
   ) {
     def committedSet: Set[String] = committedPartitions.map(_.partition).toSet
+  }
+
+  /** Fold the oldest committed windows into the watermark, keeping at most
+    * `maxWindows` recent entries. Window keys sort lexicographically in
+    * time order (yyyyMMdd'T'HHmm'Z').
+    */
+  def compact(m: Manifest, maxWindows: Int): Manifest = {
+    if (m.committedPartitions.size <= maxWindows) m
+    else {
+      val sorted = m.committedPartitions.sortBy(_.partition)
+      val (fold, keep) = sorted.splitAt(sorted.size - maxWindows)
+      m.copy(
+        committedPartitions = keep,
+        watermark = Seq(m.watermark, fold.last.partition).max,
+        foldedRows = m.foldedRows + fold.map(_.rows).sum)
+    }
   }
 
   private def esc(s: String): String =
@@ -40,7 +68,8 @@ object Checkpoint {
     val metrics = m.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"runId":"${esc(m.runId)}","committedPartitions":$parts,"metrics":$metrics}"""
+      s"""{"runId":"${esc(m.runId)}","watermark":"${esc(m.watermark)}",""" +
+        s""""foldedRows":${m.foldedRows},"committedPartitions":$parts,"metrics":$metrics}"""
     val tmp = Paths.get(dir, s".manifest.${m.runId}.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(dir, "manifest.json"),
@@ -54,6 +83,10 @@ object Checkpoint {
     val json = Files.readString(p)
     val runId = """"runId":"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val watermark = """"watermark":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val foldedRows = """"foldedRows":(\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
     val partRe = """\{"partition":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r
     val parts = partRe.findAllMatchIn(json)
       .map(m => PartitionLineage(unesc(m.group(1)), m.group(2).toLong)).toSeq
@@ -62,7 +95,7 @@ object Checkpoint {
     val metricRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
     val metrics = metricRe.findAllMatchIn(metricsBlock)
       .map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
-    Some(Manifest(unesc(runId), parts, metrics))
+    Some(Manifest(unesc(runId), parts, metrics, unesc(watermark), foldedRows))
   }
 
   private def unesc(s: String): String = {

@@ -67,7 +67,12 @@ final case class PipelineConfig(
     // Row-level dedup costs one full-data shuffle; disable when the source
     // guarantees uniqueness (replay protection still holds at window
     // granularity via the checkpoint manifest).
-    dedup: Boolean = true
+    dedup: Boolean = true,
+    // Manifest lineage entries kept before folding old windows into the
+    // watermark (bounds manifest size AND resume-filter plan size; windows
+    // at or below the watermark are closed — late rows for them are dropped
+    // and counted in rows_late_dropped).
+    maxLineageWindows: Int = 4096
 ) {
   require(
     windowSize == "minute" || windowSize == "hour",
@@ -76,6 +81,7 @@ final case class PipelineConfig(
   require(saltBuckets > 0, "saltBuckets must be positive")
   require(maxTextLen > 0, "maxTextLen must be positive")
   require(shufflePartitions > 0, "shufflePartitions must be positive")
+  require(maxLineageWindows > 0, "maxLineageWindows must be positive")
 }
 
 /** File-based config load with field-addressed validation errors
@@ -87,7 +93,7 @@ final case class PipelineConfig(
 object PipelineConfig {
   private val keys = Set(
     "windowSize", "saltBuckets", "maxTextLen", "maxToolLen",
-    "shufflePartitions", "dedup")
+    "shufflePartitions", "dedup", "maxLineageWindows")
 
   def fromFile(path: String): PipelineConfig = {
     import scala.jdk.CollectionConverters._
@@ -118,7 +124,8 @@ object PipelineConfig {
       maxTextLen = int("maxTextLen", d.maxTextLen),
       maxToolLen = int("maxToolLen", d.maxToolLen),
       shufflePartitions = int("shufflePartitions", d.shufflePartitions),
-      dedup = kv.get("dedup").map(_.toBoolean).getOrElse(d.dedup)
+      dedup = kv.get("dedup").map(_.toBoolean).getOrElse(d.dedup),
+      maxLineageWindows = int("maxLineageWindows", d.maxLineageWindows)
     )
   }
 }

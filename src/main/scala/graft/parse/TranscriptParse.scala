@@ -59,10 +59,28 @@ object TranscriptParse {
   }
 
   def parseKeepText(raw: DataFrame, maxTextLen: Int = 8192): (DataFrame, DataFrame) = {
+    val (valid, quarantine) = classify(raw, maxTextLen)
+    (extract(valid), quarantine)
+  }
+
+  /** Stage 1 of the parse: the validation SPLIT only, no extraction. Kept
+    * separate so the pipeline can quarantine invalid rows BEFORE dedup —
+    * invalid rows may have null key fields and would otherwise collapse
+    * under the dedup key instead of being quarantined verbatim.
+    */
+  def classify(raw: DataFrame, maxTextLen: Int = 8192): (DataFrame, DataFrame) = {
     val classified = raw.withColumn("error_code_v", errorCode(maxTextLen))
     val quarantine = classified.filter(col("error_code_v").isNotNull)
       .withColumnRenamed("error_code_v", "error_code")
     val valid = classified.filter(col("error_code_v").isNull).drop("error_code_v")
+    (valid, quarantine)
+  }
+
+  /** Stage 2: grok extraction + normalization over validated rows
+    * (row-preserving — never filters).
+    */
+  def extract(valid: DataFrame): DataFrame =
+    valid
       .withColumn("role", lower(trim(col("role"))))
       .withColumn("tool_invoked", extracted("tool_invoked", col("text")))
       .withColumn("tool_arg", extracted("tool_arg", col("text")))
@@ -70,6 +88,4 @@ object TranscriptParse {
       .withColumn("has_error", extracted("error_code", col("text")).isNotNull)
       .withColumn("word_count", size(split(trim(col("text")), "\\s+")))
       .withColumn("char_count", length(col("text")))
-    (valid, quarantine)
-  }
 }

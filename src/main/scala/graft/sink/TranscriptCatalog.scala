@@ -35,6 +35,30 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
+  /** Delete every `partitionCol=value` directory of `table` (at any nesting
+    * depth) for which `drop(value)` holds. Crash-recovery GC: a run that
+    * died after its partition writes but before its manifest commit leaves
+    * orphan partitions; if the replay's data no longer produces some
+    * (route, window) a dynamic partition overwrite would never clear them,
+    * so they are cleared explicitly before the write. Pure file-system
+    * metadata work — no data scan.
+    */
+  def dropPartitions(table: String, partitionCol: String, drop: String => Boolean): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(path(table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Nil
+    val prefix = partitionCol + "="
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        if (st.getPath.getName.startsWith(prefix)) Seq(st.getPath)
+        else walk(st.getPath)
+      }
+    val victims = walk(base).filter(p => drop(p.getName.stripPrefix(prefix)))
+    victims.foreach(p => fs.delete(p, true))
+    victims.map(_.toString)
+  }
+
   def exists(table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

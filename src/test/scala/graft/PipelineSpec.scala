@@ -88,6 +88,75 @@ class PipelineSpec extends SparkSpecBase {
     canon() shouldBe golden
   }
 
+  test("duplicate rows are dropped, counted, and never hide invalid rows") {
+    val out = tmpDir("pipe-dups")
+    val raw = TranscriptGen.generate(spark, 5000, 4)
+    // 500 exact duplicate rows + 2 DISTINCT invalid rows that share the
+    // dedup key (null conv_id, same turn_idx): validation must run before
+    // dedup so both reach quarantine instead of collapsing to one.
+    val dups = raw.filter(pmod(col("turn_idx"), lit(10)) === 3).limit(500)
+    val bad = raw.limit(2)
+      .withColumn("conv_id", lit(null).cast("string"))
+      .withColumn("turn_idx", lit(7))
+      .withColumn("text", concat(lit("bad-"), monotonically_increasing_id()))
+      .withColumn("role", lit(null).cast("string"))
+    val res = PipelineJob.run(spark, raw.unionByName(dups).unionByName(bad),
+      out, PipelineConfig(), "t1")
+    res.metrics("rows_input") shouldBe 5502L
+    res.metrics("rows_quarantined") shouldBe 2L
+    res.metrics("rows_duplicates_dropped") shouldBe 500L
+    res.metrics("rows_parsed") shouldBe 5000L
+    new TranscriptCatalog(out, spark).read("quarantine").count() shouldBe 2L
+  }
+
+  test("crash-recovery GC: orphan uncommitted partitions are cleared, not leaked") {
+    val out = tmpDir("pipe-gc")
+    val raw = TranscriptGen.generate(spark, 5000, 4)
+    val r1 = PipelineJob.run(spark, raw, out, PipelineConfig(), "t1")
+    // Simulate a run that died after writing a (route, window) partition but
+    // before its manifest commit: plant orphan dirs with a window key no
+    // future input will produce.
+    val catalog = new TranscriptCatalog(out, spark)
+    val committedW = r1.processedWindows.head
+    for (dir <- Seq(s"$out/routed/route=errors/window_key=99990101T0000Z",
+        s"$out/aggregates/window_key=99990101T0000Z")) {
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      val src = new java.io.File(s"$out/aggregates/window_key=$committedW")
+        .listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(d, src.getName).toPath)
+    }
+    val r2 = PipelineJob.run(spark, raw, out, PipelineConfig(), "t2")
+    r2.metrics("partitions_gc") shouldBe 2L
+    new java.io.File(s"$out/routed/route=errors/window_key=99990101T0000Z")
+      .exists() shouldBe false
+    // aggregates still tally exactly to the input — no orphan leakage
+    catalog.read("aggregates").filter(col("dim") === "tool")
+      .agg(sum("cnt")).head.getLong(0) shouldBe 5000L
+  }
+
+  test("manifest compaction: old windows fold into the watermark; rerun still no-op") {
+    val out = tmpDir("pipe-compact")
+    val raw = TranscriptGen.generate(spark, 10000, 4)
+    val cfg = PipelineConfig(maxLineageWindows = 3)
+    val r1 = PipelineJob.run(spark, raw, out, cfg, "t1")
+    r1.processedWindows.size should be > 3
+    val m = Checkpoint.read(s"$out/_checkpoint").get
+    m.committedPartitions.size shouldBe 3
+    m.watermark should not be empty
+    m.foldedRows + m.committedPartitions.map(_.rows).sum shouldBe 10000L
+    // resume filter = range + bounded isin: a rerun must still be a no-op
+    // (rows_skipped is not asserted here: a fully-skipped rerun is a
+    // zero-task write, and Spark never fires CollectMetrics for it)
+    val r2 = PipelineJob.run(spark, raw, out, cfg, "t2")
+    r2.processedWindows shouldBe empty
+    r2.metrics("rows_parsed") shouldBe 0L
+    // full lineage survives in the append-only lineage table
+    new TranscriptCatalog(out, spark).read("lineage")
+      .agg(sum("rows")).head.getLong(0) shouldBe 10000L
+  }
+
   test("quarantined rows are excluded from aggregates and recorded with codes") {
     val out = tmpDir("pipe-quar")
     val raw = TranscriptGen.generate(spark, 5000, 4)
