@@ -24,8 +24,14 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: JIT + codegen + parquet-footer caches, not measured.
+    // Warmup: JIT + codegen + parquet-footer caches, not measured — one
+    // query per input table family (events / embeddings / documents), so
+    // whichever query runs first in each family doesn't absorb the
+    // session's one-time warm-up cost (measured ~3-4 s of JIT on the first
+    // higher-order-function query).
     SparkEntry.queries("q_agg_minute_counts")(spark, sfDir).count()
+    SparkEntry.queries("ann_topk_bruteforce")(spark, sfDir).count()
+    SparkEntry.queries("tx_tokens")(spark, sfDir).count()
 
     // A failed query must never masquerade as a fast timing: record a
     // success flag per query and surface the failed names in the output.

@@ -43,7 +43,9 @@ object Lsh {
     */
   def signedDot(v: Column, mask: Int, dim: Int = DefaultDim): Column =
     aggregate(
-      zip_with(v, array(signs(mask, dim).map(lit).toIndexedSeq: _*), (x, y) => x * y),
+      // typedLit: the sign row is ONE Literal plan node (array(lit...) would
+      // add dim nodes per mask and blow up optimizer time at high bit counts)
+      zip_with(v, typedLit(signs(mask, dim).toSeq), (x, y) => x * y),
       lit(0.0),
       (acc, x) => acc + x)
 

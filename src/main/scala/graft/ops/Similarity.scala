@@ -29,12 +29,14 @@ object Similarity {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
-  /** dot(v, literal centroid) as a pure fold over an inlined array —
-    * codegen-friendly, no join against a centroid table.
+  /** dot(v, literal centroid) as a pure fold over an inlined array — no
+    * join against a centroid table. typedLit, not array(lit...): the whole
+    * centroid is ONE Literal node, so 16 centroids × 64 dims add 16 plan
+    * nodes instead of ~1000 (optimizer time dominated the query otherwise).
     */
   private def dotLit(v: Column, c: Array[Double]): Column =
     aggregate(
-      zip_with(v, array(c.map(lit).toIndexedSeq: _*), (x, y) => x * y),
+      zip_with(v, typedLit(c.toSeq), (x, y) => x * y),
       lit(0.0),
       (acc, x) => acc + x)
 

@@ -72,6 +72,19 @@ class PlanSpec extends SparkSpecBase {
     p should include("*(1)")
   }
 
+  test("IVF top-k plan is shuffle-free up to the final top-k gather") {
+    val e = graft.ops.Similarity.prepare(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val p = plan(graft.ops.Similarity.ivfTopK(spark, e, 0, 10, nCells = 8, nprobe = 4))
+    // round-1 review: assignment must be a projection, not crossJoin +
+    // window argmin — no Window, no Join, and the only ordering operator is
+    // the TakeOrderedAndProject top-k itself.
+    p should not include "Window"
+    p should not include "Join"
+    p should not include "Exchange hashpartitioning"
+    p should include("TakeOrderedAndProject")
+  }
+
   test("salted rollup produces two exchanges (stage-1 salt spread, stage-2 final)") {
     val df = TranscriptGen.generate(spark, 1000, 2)
     val p = plan(Rollup.saltedCounts(df, Seq("tool")))
