@@ -52,6 +52,80 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("conv_id"), col("tool"), col("cnt"))
 
+  final case class OpenSession(startUs: Long, endUs: Long, turns: Long)
+  final case class SessionOut(
+      conv_id: String,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_turns: Long)
+
+  /** Stateful gap-based sessionization over the turn stream: custom
+    * per-conversation state via `flatMapGroupsWithState` with an EVENT-TIME
+    * timeout — a session closes (and is emitted, append-mode) either when a
+    * later turn arrives past the gap, or when the watermark passes the open
+    * session's end + gap. This is the streaming twin of the batch
+    * `q_sessionize` window query, and the operator class the reference's
+    * per-partition sequential consumers would need for any cross-batch
+    * state (reference holds NO cross-batch state: consumer loop
+    * internal/streams/partial_insight_consumer.go:46-114 merges
+    * commutative counts only).
+    *
+    * State per key is O(1) (one open session), so a hot conversation costs
+    * memory like a cold one; the state store bounds everything else.
+    */
+  def sessionize(
+      spark: SparkSession,
+      stream: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"
+  ): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    def tsOf(u: Long) = new java.sql.Timestamp(u / 1000L)
+    def close(convId: String, s: OpenSession): SessionOut =
+      SessionOut(convId, tsOf(s.startUs), tsOf(s.endUs), s.turns)
+
+    stream.withWatermark("ts", watermark)
+      .select(col("conv_id"), col("turn_idx"), col("ts"))
+      .as[(String, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, turns: Iterator[(String, Int, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (turns.isEmpty) {
+            // event-time timeout: the watermark passed end + gap
+            val out = state.getOption.map(close(convId, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = turns.toSeq.sortBy(t => (us(t._3), t._2))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for (t <- sorted) {
+              val tUs = us(t._3)
+              cur = cur match {
+                case Some(s) if tUs - s.endUs <= gapUs =>
+                  Some(OpenSession(s.startUs, math.max(s.endUs, tUs), s.turns + 1))
+                case Some(s) =>
+                  closed += close(convId, s)
+                  Some(OpenSession(tUs, tUs, 1))
+                case None =>
+                  Some(OpenSession(tUs, tUs, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Write the routed stream to per-route parquet sinks (K1/K2 analog):
     * one query, partitioned by route, exactly-once via checkpointed commits.
     */

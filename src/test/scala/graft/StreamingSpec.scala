@@ -65,6 +65,40 @@ class StreamingSpec extends SparkSpecBase {
       Array("assistant_turns", "privileged_tools")
   }
 
+  test("stateful sessionization: gap closes sessions; watermark timeout flushes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val sessions = StreamingPipeline.sessionize(spark, mem.toDF(),
+      gapMinutes = 30, watermark = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // c1: two turns 5 min apart (one session), then a turn 40 min later
+      // (gap > 30 min -> closes session 1, opens session 2)
+      mem.addData(
+        turn("c1", 0, "none", "2025-12-28T10:00:00Z"),
+        turn("c1", 1, "none", "2025-12-28T10:05:00Z"))
+      q.processAllAvailable()
+      mem.addData(turn("c1", 2, "none", "2025-12-28T10:45:00Z"))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").as[StreamingPipeline.SessionOut].collect()
+      afterGap.map(s => (s.conv_id, s.session_start.toInstant.toString,
+        s.session_end.toInstant.toString, s.n_turns)).toSeq shouldBe Seq(
+        ("c1", "2025-12-28T10:00:00Z", "2025-12-28T10:05:00Z", 2L))
+
+      // advance the watermark far past 10:45 + 30 min via another conv:
+      // the open c1 session must flush through the event-time timeout
+      mem.addData(turn("c9", 0, "none", "2025-12-28T13:00:00Z"))
+      q.processAllAvailable()
+      mem.addData(turn("c9", 1, "none", "2025-12-28T13:00:01Z"))
+      q.processAllAvailable()
+      val flushed = spark.table("sessions").as[StreamingPipeline.SessionOut]
+        .collect().filter(_.conv_id == "c1")
+        .map(s => (s.session_start.toInstant.toString, s.n_turns)).sorted.toSeq
+      flushed shouldBe Seq(("2025-12-28T10:00:00Z", 2L), ("2025-12-28T10:45:00Z", 1L))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch rollup on identical data") {
     implicit val sqlCtx = spark.sqlContext
     import graft.gen.TranscriptGen
