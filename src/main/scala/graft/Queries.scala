@@ -299,6 +299,29 @@ object Queries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // --- A9: CUBE with grouping_id — the full grouping-sets lattice over
+    //     (event_type, value bucket); the reference's README "rollup" is
+    //     partial→final merge, this is the SQL analytic complement ---
+    "q_cube" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .cube(col("event_type"),
+          floor(col("value") / 100).cast("long").as("vbucket"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
+        .select("event_type", "vbucket", "gid", "cnt")
+    }),
+
+    // --- O5: distribution windows (ntile / percent_rank / cume_dist),
+    //     partitioned by event_type so no global single-reducer sort ---
+    "q_ntile" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      t(s, dir, "events").select(
+        col("event_id"),
+        ntile(4).over(w).as("tile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
     // --- SET1: set operations (intersect / except of user sets) ---
     "q_set_ops" -> ((s: SparkSession, dir: String) => {
       val events = t(s, dir, "events")
@@ -410,6 +433,18 @@ object Queries {
          |SELECT error_code, $cat AS category, $http AS http_status, count(*) AS cnt
          |FROM c WHERE error_code IS NOT NULL GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
     },
+    "q_cube" ->
+      """SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS vbucket,
+        |  CAST(GROUPING(event_type, CAST(floor(value / 100) AS BIGINT)) AS BIGINT) AS gid,
+        |  count(*) AS cnt
+        |FROM events GROUP BY CUBE(1, 2)""".stripMargin.replace("\n", " "),
+    "q_ntile" ->
+      """SELECT event_id,
+        |  CAST(ntile(4) OVER w AS INT) AS tile,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin.replace("\n", " "),
     "q_set_ops" ->
       """SELECT user_id, 'both' AS set_op FROM
         |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
