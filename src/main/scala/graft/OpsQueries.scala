@@ -268,6 +268,22 @@ object OpsQueries {
           .as("re_tokens"))
     }),
 
+    // --- TX5: PII scrubbing — the redaction pass every training-data
+    //     pipeline runs before tokenization (emails + number spans →
+    //     placeholder tokens; count of redactions per doc; scrubbed text
+    //     compared via md5 so the dump stays narrow) ---
+    "tx_scrub" -> ((s: SparkSession, dir: String) => {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val numRe = "[0-9]+"
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(scrubbed).as("scrub_hash"),
+        regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(numRe)).as("n_nums"))
+    }),
+
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
     "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
       docs(s, dir).select(
@@ -374,6 +390,12 @@ object OpsQueries {
       "tx_tokens" ->
         """SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+          |FROM documents""".stripMargin.replace("\n", " "),
+      "tx_scrub" ->
+        """SELECT doc_id,
+          |  md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS scrub_hash,
+          |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(text, '[0-9]+')) AS n_nums
           |FROM documents""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",

@@ -322,6 +322,14 @@ object Queries {
         round(cume_dist().over(w), 6).as("cdist"))
     }),
 
+    // --- T1: unpivot (wide measures → long layout) via the stack
+    //     generator — the schema-migration workhorse ---
+    "q_unpivot" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").select(col("event_id"),
+        expr("stack(2, 'value', value, 'user_id', CAST(user_id AS DOUBLE))")
+          .as(Seq("measure", "val")))
+    }),
+
     // --- SET1: set operations (intersect / except of user sets) ---
     "q_set_ops" -> ((s: SparkSession, dir: String) => {
       val events = t(s, dir, "events")
@@ -445,6 +453,10 @@ object Queries {
         |  round(cume_dist() OVER w, 6) AS cdist
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin.replace("\n", " "),
+    "q_unpivot" ->
+      """SELECT event_id, 'value' AS measure, value AS val FROM events
+        |UNION ALL
+        |SELECT event_id, 'user_id' AS measure, CAST(user_id AS DOUBLE) AS val FROM events""".stripMargin.replace("\n", " "),
     "q_set_ops" ->
       """SELECT user_id, 'both' AS set_op FROM
         |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'

@@ -69,28 +69,36 @@ object PipelineJob {
     //     are closed — committed long ago and folded out of the manifest)
     //     plus an isin over the bounded recent-window set, so its plan size
     //     stays O(maxLineageWindows) over unbounded horizons. ---
-    val obsRaw = new Observation(s"input-$runId")
     val withWindow = raw
       .withColumn("window_start", Rollup.windowStart(col("ts"), config.windowSize))
       .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
-      .observe(obsRaw, count(lit(1)).as("rows_input"))
     val timer = new PhaseTimer
     val committedSeq = committed.toSeq.sorted
     val afterWatermark =
       if (watermark.isEmpty) withWindow
       else withWindow.filter(col("window_key") > watermark)
-    val obsIn = new Observation(s"ingest-$runId")
     val scoped =
-      (if (committed.isEmpty) afterWatermark
-       else afterWatermark.filter(!col("window_key").isin(committedSeq: _*)))
-        .observe(obsIn, count(lit(1)).as("rows_ingested"))
+      if (committed.isEmpty) afterWatermark
+      else afterWatermark.filter(!col("window_key").isin(committedSeq: _*))
 
     // --- E1 validation split BEFORE dedup: invalid rows may carry null key
     //     fields and would collapse under the dedup key instead of being
-    //     quarantined verbatim (round-1 advice). ---
-    val (validRaw, quarantine) = TranscriptParse.classify(scoped, config.maxTextLen)
-    val obsValid = new Observation(s"valid-$runId")
-    val valid = validRaw.observe(obsValid, count(lit(1)).as("rows_valid"))
+    //     quarantined verbatim (round-1 advice).
+    //     ONE CollectMetrics carries both the ingested and the valid count
+    //     (conditional count on the classification column): every
+    //     Observation node is a whole-stage-codegen break on the 10^12-row
+    //     hot path, so the pipeline keeps exactly two — this one and the
+    //     post-dedup one (measured: 4 nodes cost ~10% at local[8] on 40M
+    //     turns). ---
+    val obsIn = new Observation(s"ingest-$runId")
+    val classified = scoped
+      .withColumn("__err", TranscriptParse.errorCode(config.maxTextLen))
+      .observe(obsIn,
+        count(lit(1)).as("rows_ingested"),
+        count(when(col("__err").isNull, 1)).as("rows_valid"))
+    val quarantine = classified.filter(col("__err").isNotNull)
+      .withColumnRenamed("__err", "error_code")
+    val valid = classified.filter(col("__err").isNull).drop("__err")
 
     // --- D1 row-level dedup (idempotency analog of the reference's
     //     create-if-not-exists batch guard, log_batch_store.go:42-59) ---
@@ -166,9 +174,8 @@ object PipelineJob {
     // CollectMetrics nodes — default the observations to 0 in that case.
     def obsVal(o: Observation, k: String): Long =
       o.getAsJava.getOrDefault(k, 0L).asInstanceOf[Long]
-    val rowsInput = obsVal(obsRaw, "rows_input")
     val rowsIngested = obsVal(obsIn, "rows_ingested")
-    val rowsValid = obsVal(obsValid, "rows_valid")
+    val rowsValid = obsVal(obsIn, "rows_valid")
     val rowsParsed = obsVal(obsDedup, "rows_deduped") // extraction preserves rows
     val quarantined = rowsIngested - rowsValid
     // The reference's most-watched operational counter: rows dropped as
@@ -208,9 +215,7 @@ object PipelineJob {
     val priorParts = prior.map(_.committedPartitions).getOrElse(Nil)
       .filterNot(p => todo.contains(p.partition))
     val metrics = Map(
-      "rows_input" -> rowsInput,
       "rows_ingested" -> rowsIngested,
-      "rows_skipped" -> (rowsInput - rowsIngested), // committed replays + late
       "rows_parsed" -> rowsParsed,
       "rows_quarantined" -> quarantined,
       "rows_duplicates_dropped" -> duplicatesDropped,

@@ -102,7 +102,7 @@ class PipelineSpec extends SparkSpecBase {
       .withColumn("role", lit(null).cast("string"))
     val res = PipelineJob.run(spark, raw.unionByName(dups).unionByName(bad),
       out, PipelineConfig(), "t1")
-    res.metrics("rows_input") shouldBe 5502L
+    res.metrics("rows_ingested") shouldBe 5502L
     res.metrics("rows_quarantined") shouldBe 2L
     res.metrics("rows_duplicates_dropped") shouldBe 500L
     res.metrics("rows_parsed") shouldBe 5000L
