@@ -23,20 +23,7 @@ object OpsQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** 3-word shingle set of a text column (guarded for <3-word docs).
-    * Kept as a reference for the single-expression form; the DataFrame
-    * helper below materializes the word split once instead.
-    */
-  private val shinglesExpr =
-    """CASE WHEN size(split(lower(text), ' ')) >= 3 THEN
-      |  array_distinct(transform(
-      |    sequence(1, size(split(lower(text), ' ')) - 2),
-      |    i -> concat_ws(' ', element_at(split(lower(text), ' '), i),
-      |                        element_at(split(lower(text), ' '), i + 1),
-      |                        element_at(split(lower(text), ' '), i + 2))))
-      |ELSE array() END""".stripMargin.replace("\n", " ")
-
-  /** (doc_id, toks) with the word split materialized in its own projection
+  /** (doc_id, toks) — 3-word shingle set (guarded for <3-word docs) with the word split materialized in its own projection
     * so `split(lower(text))` is evaluated once per row, not once per shingle
     * element (CollapseProject keeps non-cheap exprs from being inlined).
     */
