@@ -51,6 +51,16 @@ object ScalingBench {
     val nHigh = nLow * 4
     val outFile = args.lift(3).getOrElse("/root/repo/BENCH_SCALING.json")
 
+    // Heap sanity: at the default 8 GiB JVM an 80M-turn run went GC-bound
+    // and superlinear at BOTH levels (measured 2026-08-16), corrupting the
+    // ratio. ~6M turns/GiB is the observed safe ceiling for this pipeline.
+    val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    if (nTurns > heapGiB * 6e6)
+      System.err.println(
+        f"[scaling-bench] WARNING: $nTurns%d turns on a $heapGiB%.0f GiB heap " +
+          "is likely GC-bound — set SPARK_DRIVER_MEM (e.g. 40g) or the " +
+          "efficiency reading will measure the garbage collector, not Spark.")
+
     val inputDir = s"$tmpRoot/graft-scale-input"
 
     // Pre-generate the input once, split into enough files that even the
