@@ -330,6 +330,40 @@ object Queries {
           .as(Seq("measure", "val")))
     }),
 
+    // --- A10: statistical moments + exact interpolated percentiles per
+    //     group (stddev/corr/covar are streaming co-moment aggregates —
+    //     map-side combinable, one shuffle) ---
+    "q_stats_moments" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("event_type").agg(
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_uv"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_uv"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+    }),
+
+    // --- J3: left-semi join (EXISTS pruning — rows survive, no columns
+    //     from the build side, no row duplication on multi-matches) ---
+    "q_semi_join" -> ((s: SparkSession, dir: String) => {
+      val events = t(s, dir, "events")
+      val signups = events.filter(col("event_type") === "signup")
+        .select("user_id")
+      events.join(signups, Seq("user_id"), "left_semi")
+        .select("event_id", "user_id")
+    }),
+
+    // --- T2: pivot (long → wide) with an explicit value list so the output
+    //     schema is static — the only pivot form that scales (a discovered
+    //     value list needs an extra distinct pass and breaks schema
+    //     stability) ---
+    "q_pivot" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
     // --- SET1: set operations (intersect / except of user sets) ---
     "q_set_ops" -> ((s: SparkSession, dir: String) => {
       val events = t(s, dir, "events")
@@ -457,6 +491,25 @@ object Queries {
       """SELECT event_id, 'value' AS measure, value AS val FROM events
         |UNION ALL
         |SELECT event_id, 'user_id' AS measure, CAST(user_id AS DOUBLE) AS val FROM events""".stripMargin.replace("\n", " "),
+    "q_stats_moments" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) AS sd,
+        |  round(corr(value, user_id::DOUBLE), 4) AS corr_uv,
+        |  round(covar_samp(value, user_id::DOUBLE), 4) AS covar_uv,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_semi_join" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')""".stripMargin.replace("\n", " "),
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_set_ops" ->
       """SELECT user_id, 'both' AS set_op FROM
         |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
