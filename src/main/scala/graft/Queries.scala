@@ -330,6 +330,17 @@ object Queries {
           .as(Seq("measure", "val")))
     }),
 
+    // --- A11: HyperLogLog++ approximate distinct count — the only distinct
+    //     shape that is O(1) memory per key at 100 TB (exact distinct of a
+    //     hot key's value set must fit somewhere; a sketch never grows).
+    //     No SQL oracle (DuckDB's approx_distinct uses a different sketch)
+    //     → rows-only here; ApproxSpec asserts <2% error vs exact. ---
+    "q_approx_distinct" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // --- A10: statistical moments + exact interpolated percentiles per
     //     group (stddev/corr/covar are streaming co-moment aggregates —
     //     map-side combinable, one shuffle) ---
