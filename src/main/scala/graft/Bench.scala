@@ -60,11 +60,15 @@ object Bench {
     val pipeSec = (System.nanoTime() - t0) / 1e9
 
     val all = results :+ (("pipeline_e2e", pipeSec, true))
-    val qs = all.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    // A failed query's wall time is time-to-exception, not a measurement:
+    // report it as -1 and EXCLUDE it from the total, so a regression to
+    // failure can never read as a speedup (round-2 advice).
+    val qs = all.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    }.mkString("{", ",", "}")
     val failed = all.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = all.map(_._2).sum
+    val total = all.collect { case (_, v, true) => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

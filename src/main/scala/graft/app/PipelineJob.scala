@@ -74,28 +74,37 @@ object PipelineJob {
       .withColumn("window_key", Rollup.windowKey(col("window_start"), config.windowSize))
     val timer = new PhaseTimer
     val committedSeq = committed.toSeq.sorted
-    val afterWatermark =
-      if (watermark.isEmpty) withWindow
-      else withWindow.filter(col("window_key") > watermark)
-    val scoped =
-      if (committed.isEmpty) afterWatermark
-      else afterWatermark.filter(!col("window_key").isin(committedSeq: _*))
+    val late =
+      if (watermark.isEmpty) lit(false) else col("window_key") <= watermark
+    val skippedCommitted =
+      if (committed.isEmpty) lit(false)
+      else col("window_key").isin(committedSeq: _*)
+    val inScope = !late && !skippedCommitted
 
     // --- E1 validation split BEFORE dedup: invalid rows may carry null key
     //     fields and would collapse under the dedup key instead of being
     //     quarantined verbatim (round-1 advice).
-    //     ONE CollectMetrics carries both the ingested and the valid count
-    //     (conditional count on the classification column): every
-    //     Observation node is a whole-stage-codegen break on the 10^12-row
-    //     hot path, so the pipeline keeps exactly two — this one and the
-    //     post-dedup one (measured: 4 nodes cost ~10% at local[8] on 40M
-    //     turns). ---
+    //     ONE CollectMetrics carries ALL ingest counters as conditional
+    //     counts — seen, late-dropped (round-2 advice: late rows for
+    //     watermark-closed windows must be counted, not invisibly dropped),
+    //     ingested, valid. Every Observation node is a whole-stage-codegen
+    //     break on the 10^12-row hot path, so the pipeline keeps exactly
+    //     two — this one and the post-dedup one (measured: 4 nodes cost
+    //     ~10% at local[8] on 40M turns). The scope filter sits AFTER the
+    //     observe so out-of-scope rows are countable; classification is
+    //     wrapped in when(__scope) so codegen skips the regex/length work
+    //     for rows that are about to be dropped anyway. ---
     val obsIn = new Observation(s"ingest-$runId")
-    val classified = scoped
-      .withColumn("__err", TranscriptParse.errorCode(config.maxTextLen))
+    val classified = withWindow
+      .withColumn("__scope", inScope)
+      .withColumn("__err",
+        when(col("__scope"), TranscriptParse.errorCode(config.maxTextLen)))
       .observe(obsIn,
-        count(lit(1)).as("rows_ingested"),
-        count(when(col("__err").isNull, 1)).as("rows_valid"))
+        count(lit(1)).as("rows_seen"),
+        count(when(late, 1)).as("rows_late_dropped"),
+        count(when(col("__scope"), 1)).as("rows_ingested"),
+        count(when(col("__scope") && col("__err").isNull, 1)).as("rows_valid"))
+      .filter(col("__scope")).drop("__scope")
     val quarantine = classified.filter(col("__err").isNotNull)
       .withColumnRenamed("__err", "error_code")
     val valid = classified.filter(col("__err").isNull).drop("__err")
@@ -126,8 +135,14 @@ object PipelineJob {
     //     a route that now produces no rows) would never overwrite them, so
     //     they would leak into route counts, lineage, and aggregates —
     //     delete every uncommitted window partition up front. ---
+    //     Quarantine partitions are swept too (round-2 advice): a replay
+    //     whose data no longer yields quarantine rows for a window would
+    //     otherwise leak the dead run's rows into quarantine counts. The
+    //     synthetic "invalid" window_key sorts above any timestamp-shaped
+    //     watermark and is never in the committed set, so it is GC'd with
+    //     the same predicate. ---
     val gcCount = timer("partition_gc") {
-      Seq("routed", "aggregates").map { t =>
+      Seq("routed", "aggregates", "quarantine").map { t =>
         catalog.dropPartitions(t, "window_key",
           wk => wk > watermark && !committed.contains(wk)).size
       }.sum
@@ -174,6 +189,8 @@ object PipelineJob {
     // CollectMetrics nodes — default the observations to 0 in that case.
     def obsVal(o: Observation, k: String): Long =
       o.getAsJava.getOrDefault(k, 0L).asInstanceOf[Long]
+    val rowsSeen = obsVal(obsIn, "rows_seen")
+    val rowsLateDropped = obsVal(obsIn, "rows_late_dropped")
     val rowsIngested = obsVal(obsIn, "rows_ingested")
     val rowsValid = obsVal(obsIn, "rows_valid")
     val rowsParsed = obsVal(obsDedup, "rows_deduped") // extraction preserves rows
@@ -215,6 +232,9 @@ object PipelineJob {
     val priorParts = prior.map(_.committedPartitions).getOrElse(Nil)
       .filterNot(p => todo.contains(p.partition))
     val metrics = Map(
+      "rows_seen" -> rowsSeen,
+      "rows_late_dropped" -> rowsLateDropped,
+      "rows_skipped_committed" -> (rowsSeen - rowsLateDropped - rowsIngested),
       "rows_ingested" -> rowsIngested,
       "rows_parsed" -> rowsParsed,
       "rows_quarantined" -> quarantined,
@@ -224,18 +244,15 @@ object PipelineJob {
       "windows_processed" -> todo.size.toLong,
       "partitions_gc" -> gcCount.toLong
     ) ++ routeCounts.map { case (k, v) => s"route_$k" -> v } ++ timer.metrics
-    // Manifest compaction keeps at most maxLineageWindows recent entries;
-    // older committed windows fold into the watermark. The FULL per-run
-    // lineage stays queryable via the append-only `lineage` table below.
-    Checkpoint.write(checkpointDir,
-      Checkpoint.compact(
-        Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition),
-          metrics, watermark, prior.map(_.foldedRows).getOrElse(0L)),
-        config.maxLineageWindows))
-
     // M1 analog: the reference exposes counters via GET /metrics
     // (internal/shared/metrics/metrics.go:41-50); the batch engine's read
     // surface is a queryable metrics table, one row per (run, metric).
+    // Both appends happen BEFORE the manifest commit point (round-2
+    // advice): a crash between them and the manifest replays the run,
+    // which may append duplicate metrics/lineage rows for the same windows
+    // — reconcilable via run_id — whereas the old order (append after
+    // commit) permanently LOST the lineage of a run that crashed right
+    // after its manifest write.
     import spark.implicits._
     catalog.append(
       metrics.toSeq.sortBy(_._1).map { case (k, v) => (runId, k, v) }
@@ -249,6 +266,16 @@ object PipelineJob {
         perWindow.map(p => (runId, p.partition, p.rows))
           .toDF("run_id", "window_key", "rows"),
         "lineage")
+
+    // Manifest compaction keeps at most maxLineageWindows recent entries;
+    // older committed windows fold into the watermark. The FULL per-run
+    // lineage stays queryable via the append-only `lineage` table above.
+    // This write is the transaction's COMMIT POINT — last, after every sink.
+    Checkpoint.write(checkpointDir,
+      Checkpoint.compact(
+        Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition),
+          metrics, watermark, prior.map(_.foldedRows).getOrElse(0L)),
+        config.maxLineageWindows))
 
     Result(metrics, routeCounts, todo)
   }

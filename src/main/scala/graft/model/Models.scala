@@ -71,7 +71,8 @@ final case class PipelineConfig(
     // Manifest lineage entries kept before folding old windows into the
     // watermark (bounds manifest size AND resume-filter plan size; windows
     // at or below the watermark are closed — late rows for them are dropped
-    // and counted in rows_late_dropped).
+    // and counted in the rows_late_dropped metric, a conditional count on
+    // the ingest Observation BEFORE the scope filter in PipelineJob).
     maxLineageWindows: Int = 4096
 ) {
   require(

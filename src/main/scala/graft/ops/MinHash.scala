@@ -42,12 +42,19 @@ object MinHash {
       bands: Int,
       rows: Int
   ): DataFrame = {
+    // Docs with NO tokens (e.g. <3-word shingle sets) have a NULL signature
+    // minimum; concat_ws silently DROPS null components, so every such doc
+    // would share band_hash md5('') and all short docs would become mutual
+    // candidates — an O(n_short²) pair blowup, and a divergence from the
+    // null-equality-join oracle which produces no pairs (round-2 advice).
+    // A doc with no tokens has no MinHash signature: exclude it up front.
     // Persist the exploded signature: a self-join otherwise pushes
     // IsNotNull(band_hash) into both scan sides and re-evaluates the whole
     // md5-over-shingles tree interpreted, once per side (measured 10× in
     // round 1). The cache is released as soon as the (small) pair set is
     // materialized via localCheckpoint.
-    val sig = docs.select(col(idCol) +: signature(toksCol, bands * rows): _*)
+    val sig = docs.filter(size(col(toksCol)) > 0)
+      .select(col(idCol) +: signature(toksCol, bands * rows): _*)
       .select(col(idCol), posexplode(bandArray(bands, rows)).as(Seq("band_idx", "band_hash")))
       .persist()
     val a = sig.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))

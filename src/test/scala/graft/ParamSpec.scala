@@ -84,6 +84,24 @@ class ParamSpec extends SparkSpecBase {
     }
   }
 
+  test("MinHash: token-less docs never become candidates (null-signature guard)") {
+    // Round-2 advice: a <3-word doc has an empty shingle set → null
+    // signature minima; concat_ws would silently drop the nulls and give
+    // EVERY short doc the same md5('') band hash, pairing all of them
+    // (O(n_short²) blowup + divergence from the null-equality oracle).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.empty[String]),      // short doc: no shingles
+      (2L, Seq.empty[String]),      // another short doc — must NOT pair with 1
+      (3L, null.asInstanceOf[Seq[String]]), // null token array
+      (4L, Seq("a b c", "b c d")),  // real doc, identical to 5
+      (5L, Seq("a b c", "b c d"))
+    ).toDF("doc_id", "toks")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "toks", 2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((4L, 5L))
+  }
+
   test("MinHash banding: more bands => more candidates; more rows => fewer") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))

@@ -157,6 +157,27 @@ class PipelineSpec extends SparkSpecBase {
       .agg(sum("rows")).head.getLong(0) shouldBe 10000L
   }
 
+  test("late rows (below watermark) and committed replays are counted, not invisible") {
+    val out = tmpDir("pipe-late")
+    val raw = TranscriptGen.generate(spark, 5000, 4) // 5 minute-windows × 1000
+    val cfg = PipelineConfig(maxLineageWindows = 2)
+    PipelineJob.run(spark, raw, out, cfg, "t1")
+    // Partial resume: the old 5 windows replay (3 folded below the
+    // watermark = late, 2 still listed in the manifest = committed
+    // replays) alongside 5 genuinely new windows. (A FULLY-skipped rerun
+    // is a zero-task write whose CollectMetrics never fires — counts
+    // default to 0 there by design; the partial case is the one that
+    // matters operationally.)
+    val raw2 = raw.unionByName(
+      raw.withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES")))
+    val r2 = PipelineJob.run(spark, raw2, out, cfg, "t2")
+    r2.metrics("rows_seen") shouldBe 10000L
+    r2.metrics("rows_late_dropped") shouldBe 3000L
+    r2.metrics("rows_skipped_committed") shouldBe 2000L
+    r2.metrics("rows_ingested") shouldBe 5000L
+    r2.metrics("rows_parsed") shouldBe 5000L
+  }
+
   test("quarantined rows are excluded from aggregates and recorded with codes") {
     val out = tmpDir("pipe-quar")
     val raw = TranscriptGen.generate(spark, 5000, 4)
