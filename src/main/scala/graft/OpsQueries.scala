@@ -112,6 +112,47 @@ object OpsQueries {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     }),
 
+    // --- DD3b: transitive cluster resolution over the MinHash candidate
+    //     pairs (connected components via min-label propagation): the step
+    //     that turns pairwise near-dup matches into a deduped CORPUS —
+    //     every doc gets its component's min doc_id as cluster_rep, and
+    //     is_kept marks the one representative per cluster (exactly
+    //     dd_exact_dup's keep_doc contract, generalized transitively). ---
+    "dd_cluster_resolve" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.ConnectedComponents
+      val pairs = MinHash.candidatePairs(docShingles(s, dir), "doc_id", "toks",
+        MinhashBands, MinhashRows)
+      val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs(s, dir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+        .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+    }),
+
+    // --- DD7: cross-run incremental near-dup — dedup a NEW batch against a
+    //     persisted band-signature store (the daily-ingest shape; here the
+    //     corpus is split at doc_id 250 into history/batch so the oracle can
+    //     mirror it; the catalog-persisted two-run flow is exercised in
+    //     IncrementalDedupSpec). ---
+    "q_incremental_neardup" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.IncrementalDedup
+      val tok = docShingles(s, dir).persist()
+      val store = IncrementalDedup.signatures(
+        tok.filter(col("doc_id") < 250), "doc_id", "toks", MinhashBands, MinhashRows)
+      val newSigs = IncrementalDedup.signatures(
+        tok.filter(col("doc_id") >= 250), "doc_id", "toks", MinhashBands, MinhashRows)
+      val dups = IncrementalDedup.duplicateIds(newSigs, store, "doc_id")
+        .withColumn("is_dup", lit(true))
+      val res = docs(s, dir).select("doc_id").filter(col("doc_id") >= 250)
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .localCheckpoint()
+      tok.unpersist()
+      res
+    }),
+
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
@@ -330,6 +371,34 @@ object OpsQueries {
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
            |UNION
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " "),
+      "dd_cluster_resolve" ->
+        s"""WITH RECURSIVE tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |pairs AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+           |edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db AS src, da AS dst FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+           |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep,
+           |  d.doc_id = coalesce(c.rep, d.doc_id) AS is_kept
+           |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin.replace("\n", " "),
+      "q_incremental_neardup" ->
+        s"""WITH tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |h AS (SELECT * FROM sig WHERE doc_id < 250),
+           |n AS (SELECT * FROM sig WHERE doc_id >= 250),
+           |dup AS (
+           |  SELECT DISTINCT n.doc_id FROM n JOIN h ON n.b1 = h.b1
+           |  UNION
+           |  SELECT DISTINCT n.doc_id FROM n JOIN h ON n.b2 = h.b2)
+           |SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_dup
+           |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+           |WHERE d.doc_id >= 250""".stripMargin.replace("\n", " "),
       "dd_simhash" ->
         s"""WITH w AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents),
            |hh AS (SELECT doc_id, ('0x' || substring(h, 1, 8))::BIGINT AS hA, ('0x' || substring(h, 9, 8))::BIGINT AS hB FROM w),

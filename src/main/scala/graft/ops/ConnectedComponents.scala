@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-components resolution over a near-duplicate candidate-pair set:
+  * turns pairwise matches (A–B, B–C) into transitive clusters ({A,B,C} →
+  * representative A), so a dedup pipeline can emit a deduped CORPUS (keep one
+  * doc per cluster), not just pairs — the same `keep_doc = min(doc_id)`
+  * contract the exact-dedup operator has, generalized to the transitive
+  * closure.
+  *
+  * Algorithm: iterative min-label propagation expressed as plain join/agg
+  * rounds — label(v) starts as v and each round becomes the min label over
+  * {v} ∪ N(v). Scale shape per round: ONE equi-join of the (id, label) table
+  * against the edge list plus ONE partial-aggregated groupBy(min) — ids and
+  * labels only, no payloads. Rounds = component DIAMETER, which for
+  * near-dup clusters is small (duplicates of a doc are mutual neighbors, so
+  * real clusters are star-like with diameter ≤ ~3); an adversarial
+  * million-hop chain would want the alternating large-star/small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond") — same join/agg primitives, O(log²) rounds — which this
+  * implementation's interface deliberately leaves room for.
+  *
+  * Convergence is detected with a single tiny aggregate, not a join: labels
+  * only ever DECREASE under min-propagation, so the label sum strictly
+  * decreases iff any label changed; equal sums ⇒ fixpoint. The sum is taken
+  * in decimal(38,0) so id magnitude can never overflow it.
+  *
+  * Each round's label table is localCheckpoint'ed: iterative self-referencing
+  * DataFrames otherwise grow their lineage (and plan-compile time) linearly
+  * with rounds.
+  */
+object ConnectedComponents {
+
+  /** Resolve components of the undirected pair set `pairs(aCol, bCol)`.
+    * Returns (id, label) for every id that appears in a pair, where `label`
+    * is the minimum id of its connected component. Ids absent from `pairs`
+    * are singletons — callers left-join and coalesce(label, id).
+    */
+  def resolve(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 64
+  ): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    if (labels.isEmpty) { edges.unpersist(); return labels }
+
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-run incremental near-duplicate detection: the daily-ingest shape of
+  * a corpus pipeline. A persisted SIGNATURE STORE — (id, band_idx, band_hash)
+  * rows of every previously-kept document — stands in for the full history,
+  * and each new batch is deduped against the store by one equi-join on
+  * (band_idx, band_hash) instead of re-banding the whole corpus.
+  *
+  * Reference analog: the committed-ids store consulted before ingesting a
+  * batch (reference: internal/stores/log_batch_store.go:42-59), generalized
+  * from exact idempotency keys to MinHash band signatures.
+  *
+  * Scale shape: the store grows O(corpus × bands) narrow rows; the per-batch
+  * work is O(batch) signature computation + a semi-join where ONLY
+  * (band_idx, band_hash) and ids cross the shuffle — document text never
+  * moves, and the store side can be bucketed by band_hash so daily runs
+  * co-locate for free. Token-less docs carry no signature (null-minima
+  * guard, see MinHash) and are therefore always kept.
+  */
+object IncrementalDedup {
+
+  /** Exploded banded MinHash signatures (idCol, band_idx, band_hash) of a
+    * doc batch — the store's row format.
+    */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      toksCol: String,
+      bands: Int,
+      rows: Int
+  ): DataFrame =
+    docs.filter(size(col(toksCol)) > 0)
+      .select(col(idCol) +: MinHash.signature(toksCol, bands * rows): _*)
+      .select(col(idCol),
+        posexplode(MinHash.bandArray(bands, rows)).as(Seq("band_idx", "band_hash")))
+
+  /** Ids of new-batch docs that collide with the store on ANY band.
+    * `newSigs` and `store` are both in `signatures` row format.
+    */
+  def duplicateIds(newSigs: DataFrame, store: DataFrame, idCol: String): DataFrame =
+    newSigs
+      .join(store.select("band_idx", "band_hash"), Seq("band_idx", "band_hash"), "left_semi")
+      .select(idCol).distinct()
+
+  /** Split a new batch into (kept, dropped) against the store and return
+    * (kept docs, dropped docs, kept docs' signatures ready to append to the
+    * store). Within-batch near-dups are NOT resolved here — run the batch
+    * through `MinHash.candidatePairs` + `ConnectedComponents` first if the
+    * source can contain same-day duplicates.
+    */
+  def dedupBatch(
+      newDocs: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      toksCol: String,
+      bands: Int,
+      rows: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
+    // Cache lifecycle: signatures are persisted only while the (narrow,
+    // eager) dup-id and kept-signature sets are materialized via
+    // localCheckpoint, then released — the returned lazy frames reference
+    // the checkpointed results, never the signature expression tree (which
+    // a join would otherwise re-evaluate interpreted, once per side).
+    val sigs = signatures(newDocs, idCol, toksCol, bands, rows).persist()
+    val dups = duplicateIds(sigs, store, idCol).localCheckpoint()
+    val keptSigs = sigs.join(dups, Seq(idCol), "left_anti").localCheckpoint()
+    sigs.unpersist()
+    val kept = newDocs.join(dups, Seq(idCol), "left_anti")
+    val dropped = newDocs.join(dups, Seq(idCol), "left_semi")
+    (kept, dropped, keptSigs)
+  }
+}
