@@ -353,6 +353,47 @@ object Queries {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
     }),
 
+    // --- A10b: the SCALE path for percentiles (round-2 review: exact
+    //     `percentile` buffers every value of a group in one aggregation
+    //     buffer — a hot group at 100 TB OOMs its reducer). approx_percentile
+    //     keeps a fixed-size Greenwald–Khanna sketch per group (rank error
+    //     ≤ n/accuracy), map-side combinable like any partial aggregate.
+    //     No SQL oracle (DuckDB's approx_quantile is a different sketch) —
+    //     ApproxSpec bounds the error vs the exact form and gates the
+    //     partial-sketch plan shape. q_stats_moments keeps the exact form
+    //     as the small-sf oracle query. ---
+    "q_approx_percentiles" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("event_type")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000)).as("ps"),
+          count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+          round(element_at(col("ps"), 1), 4).as("p50_approx"),
+          round(element_at(col("ps"), 2), 4).as("p90_approx"),
+          col("cnt"))
+    }),
+
+    // --- O5b: the SCALE path for distribution ranks (round-2 review:
+    //     q_ntile's exact window partitions by a 5-value key, so one task
+    //     sorts 1/5 of the dataset at ANY scale). Quantile-BUCKET assignment
+    //     instead: per-group approx_percentile boundaries (tiny aggregate)
+    //     broadcast back and applied as three range compares — a pure
+    //     projection after a BroadcastHashJoin, no Window, no global sort.
+    //     Rows within one rank-error of a boundary may land in the adjacent
+    //     bucket vs exact ntile (ApproxSpec bounds the disagreement);
+    //     q_ntile keeps the exact window form as the oracle query. ---
+    "q_quantile_bucket" -> ((s: SparkSession, dir: String) => {
+      val events = t(s, dir, "events")
+      val bounds = events.groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("bs"))
+      events.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          (lit(1)
+            + when(col("value") > element_at(col("bs"), 1), 1).otherwise(0)
+            + when(col("value") > element_at(col("bs"), 2), 1).otherwise(0)
+            + when(col("value") > element_at(col("bs"), 3), 1).otherwise(0)).as("tile"))
+    }),
+
     // --- J3: left-semi join (EXISTS pruning — rows survive, no columns
     //     from the build side, no row duplication on multi-matches) ---
     "q_semi_join" -> ((s: SparkSession, dir: String) => {
