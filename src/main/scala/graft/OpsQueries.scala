@@ -263,6 +263,20 @@ object OpsQueries {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    // --- ANN4: batch ANN — top-k for a query TABLE in one pass (per-query
+    //     probe lists via single-row centroid broadcast, candidates-only
+    //     rank window). No SQL oracle (iterative centroid build) —
+    //     SimilaritySpec asserts exact brute-force equivalence at
+    //     nprobe = nCells and recall at partial probe. ---
+    "ann_ivf_multiquery" -> ((s: SparkSession, dir: String) => {
+      val e = Similarity.prepare(emb(s, dir))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      Similarity.ivfTopKBatch(e, queries, k = 5, nCells = 16, nprobe = 8)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
     // --- TX1: quality scoring (length / stopword ratios) ---
     "tx_quality" -> ((s: SparkSession, dir: String) => {
       val ws = split(lower(col("text")), " ")

@@ -85,6 +85,28 @@ class PlanSpec extends SparkSpecBase {
     p should include("TakeOrderedAndProject")
   }
 
+  test("broadcast-centroid IVF at nCells=512: vector side never hash-exchanged") {
+    // Round-2 review item #6: beyond-literal centroid scale path. The
+    // centroid table and probe list are checkpointed inputs, so the top-k
+    // plan must be: scan → single-row broadcast (cell argmax projection) →
+    // BroadcastHashJoin on cell → TakeOrderedAndProject. Any hash exchange
+    // would mean the VECTOR payload is being shuffled.
+    val syn = graft.ops.Similarity.prepare(
+      spark.range(0, 2000, 1, 4).toDF("vec_id")
+        .select(col("vec_id"), expr(
+          """transform(sequence(1, 64),
+            |  i -> CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 500.0 - 1.0)"""
+            .stripMargin.replace("\n", " ")).as("embedding")))
+    val cents = graft.ops.Similarity.buildIvfTable(syn, nCells = 512)
+    val p = plan(graft.ops.Similarity.ivfTopKBroadcast(
+      syn, 0, 10, nCells = 512, nprobe = 64, centsOpt = Some(cents)))
+    p should not include "Exchange hashpartitioning"
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+  }
+
   test("salted rollup produces two exchanges (stage-1 salt spread, stage-2 final)") {
     val df = TranscriptGen.generate(spark, 1000, 2)
     val p = plan(Rollup.saltedCounts(df, Seq("tool")))

@@ -34,4 +34,77 @@ class SimilaritySpec extends SparkSpecBase {
     (exact intersect approx).size should be >= 4
     approx.size shouldBe 10
   }
+
+  test("broadcast-centroid assignment matches the literal-centroid assignment") {
+    val model = Similarity.buildIvfModel(e, nCells = 16)
+    import spark.implicits._
+    val cents = model.centroids.map { case (c, cv) => (c, cv.toSeq) }
+      .toDF("cell", "cv")
+    val lit = e.select(col("vec_id"), Similarity.assignCell(model).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bc = Similarity.assignCellBroadcast(e, cents)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    bc shouldBe lit
+  }
+
+  test("broadcast IVF with nprobe = nCells reproduces brute force exactly") {
+    // Probing every cell makes IVF candidate-complete: the top-k must be
+    // IDENTICAL to brute force regardless of what the centroids are.
+    val exact = Similarity.bruteForceTopK(e, 0, 10).collect().map(_.getLong(0))
+    val full = Similarity.ivfTopKBroadcast(e, 0, 10, nCells = 16, nprobe = 16)
+      .collect().map(_.getLong(0))
+    full shouldBe exact
+  }
+
+  test("batch ANN: 10 queries, candidate-complete probe == per-query brute force") {
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val batch = Similarity.ivfTopKBatch(e, queries, k = 5, nCells = 16, nprobe = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    batch.keySet shouldBe (0L until 10L).toSet
+    (0L until 10L).foreach { q =>
+      val exact = Similarity.bruteForceTopK(e, q, 5).collect().map(_.getLong(0)).toSeq
+      withClue(s"query $q") { batch(q) shouldBe exact }
+    }
+  }
+
+  test("batch ANN at partial probe keeps k rows per query and useful recall") {
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val res = Similarity.ivfTopKBatch(e, qs, k = 5, nCells = 16, nprobe = 8)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    res.keySet shouldBe (0L until 10L).toSet
+    res.values.foreach(_.size shouldBe 5)
+    val recalls = (0L until 10L).map { q =>
+      val exact = Similarity.bruteForceTopK(e, q, 5).collect().map(_.getLong(0)).toSet
+      (exact intersect res(q)).size.toDouble / 5
+    }
+    withClue(s"recalls=$recalls") {
+      recalls.sum / recalls.size should be >= 0.4
+    }
+  }
+
+  test("DataFrame-built IVF scales past literal centroids (nCells=512, synthetic 5000)") {
+    // 5000 deterministic synthetic vectors (hash arithmetic — no RNG).
+    val syn = Similarity.prepare(
+      spark.range(0, 5000, 1, 8).toDF("vec_id")
+        .select(col("vec_id"), expr(
+          """transform(sequence(1, 64),
+            |  i -> CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 500.0 - 1.0)"""
+            .stripMargin.replace("\n", " ")).as("embedding")))
+      .persist()
+    val cents = Similarity.buildIvfTable(syn, nCells = 512)
+    cents.count() shouldBe 512L
+    val assigned = Similarity.assignCellBroadcast(syn, cents)
+    assigned.count() shouldBe 5000L
+    assigned.select("cell").distinct().count() should be > 256L
+    // candidate-complete equivalence holds at 512 cells too
+    val exact = Similarity.bruteForceTopK(syn, 0, 10).collect().map(_.getLong(0))
+    val full = Similarity.ivfTopKBroadcast(syn, 0, 10, nCells = 512, nprobe = 512,
+      centsOpt = Some(cents)).collect().map(_.getLong(0))
+    full shouldBe exact
+    syn.unpersist()
+  }
 }
