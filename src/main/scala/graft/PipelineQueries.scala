@@ -77,6 +77,9 @@ object PipelineQueries {
     // Scenario-001 golden rollup (reference e2e oracle: 64,000 entries +
     // 2,000 duplicate batches -> 4 windows x 8 keys x 4000; values asserted
     // byte-exactly in Scenario001Spec; here the aggregate itself is dumped).
+    // window_start is dumped as its ISO instant STRING: the oracle runs the
+    // generator's index arithmetic in pure SQL, and a string key keeps the
+    // two engines' timestamp physical types out of the comparison.
     "scenario001_agg" -> ((s: SparkSession, _: String) => {
       import graft.gen.Scenario001
       import graft.parse.{LogParse, UserAgentFamily}
@@ -86,7 +89,9 @@ object PipelineQueries {
         .withColumn("window_start", Rollup.windowStart(col("ts"), "minute"))
         .withColumn("path_key", LogParse.pathKey(col("method"), col("path")))
         .withColumn("ua_family", UserAgentFamily.family(col("userAgent")))
-        .select(col("customer_id"), col("window_start"),
+        .select(col("customer_id"),
+          date_format(col("window_start"), "yyyy-MM-dd'T'HH:mm:ssXXX")
+            .as("window_start"),
           explode(array(
             struct(lit("path").as("dim"), col("path_key").as("key")),
             struct(lit("ua").as("dim"), col("ua_family").as("key")))).as("dk"))
@@ -95,5 +100,40 @@ object PipelineQueries {
         .groupBy("customer_id", "window_start", "dim", "key")
         .agg(count(lit(1)).as("cnt"))
     })
+  )
+
+  /** DuckDB oracles for the generator-backed queries that ARE expressible in
+    * pure SQL (round-2 review item #8): both mirror the generators' index
+    * arithmetic over generate_series — no table reads.
+    */
+  def oracleSql: Map[String, String] = Map(
+    // Unique entries after (batch_id, entry_idx) dedup correspond
+    // BIJECTIVELY to p = 0..63999: p = ((b-1)·20 + i·3201) mod 64000 and
+    // gcd-style argument (3201 ≡ 1 mod 20) make the stride interleave a
+    // permutation — so the rollup is fully determined by bucket = p mod 64
+    // (minute = bucket/16, path = (bucket%16)/4, ua = bucket%4, and the
+    // UA strings map 1:1 onto families Chrome/Firefox/Googlebot/curl).
+    "scenario001_agg" ->
+      """WITH e AS (SELECT i % 64 AS bucket FROM generate_series(0, 63999) t(i)),
+        |d AS (SELECT bucket // 16 AS mi, (bucket % 16) // 4 AS pi, bucket % 4 AS ui FROM e),
+        |k AS (
+        |  SELECT mi, 'path' AS dim,
+        |    'GET ' || (['/', '/about', '/careers', '/contact'])[pi + 1] AS key FROM d
+        |  UNION ALL
+        |  SELECT mi, 'ua' AS dim,
+        |    (['Chrome', 'Firefox', 'Googlebot', 'curl'])[ui + 1] AS key FROM d)
+        |SELECT 'cus-axon' AS customer_id,
+        |  (['2025-12-28T18:03:00Z', '2025-12-28T18:04:00Z',
+        |    '2025-12-28T18:05:00Z', '2025-12-28T18:06:00Z'])[mi + 1] AS window_start,
+        |  dim, key, count(*) AS cnt
+        |FROM k GROUP BY 1, 2, 3, 4""".stripMargin.replace("\n", " "),
+    // TranscriptGen index math: hot rows are id < N/10 with
+    // turn_idx = id/4; rest have turn_idx = (id - N/10) % 40 < 97. The
+    // injected null-text rule (turn_idx % 97 = 96) therefore only fires on
+    // hot rows, each classified ING_1000 (missing required field).
+    "pipe_quarantine" ->
+      """SELECT 'ING_1000' AS error_code, count(*) AS cnt
+        |FROM generate_series(0, 99999) t(i)
+        |WHERE i < 10000 AND ((i // 4) % 97) = 96""".stripMargin.replace("\n", " ")
   )
 }

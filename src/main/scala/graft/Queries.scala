@@ -572,5 +572,5 @@ object Queries {
         |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
         |   EXCEPT
         |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin.replace("\n", " ")
-  ) ++ OpsQueries.oracleSql
+  ) ++ OpsQueries.oracleSql ++ PipelineQueries.oracleSql
 }
