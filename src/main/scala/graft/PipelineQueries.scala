@@ -102,11 +102,76 @@ object PipelineQueries {
     })
   )
 
+  /** Shared DuckDB mirror of `TranscriptGen.generate(100000, _, 5000)`:
+    * the same index arithmetic (conv split, turn_idx, role cycle, tool
+    * assignment, error marker, minute bucket) over generate_series.
+    * Text construction is NOT mirrored — the grok-extracted fields
+    * (tool_invoked, has_error) are recovered from the same index rules the
+    * generator used to embed their markers.
+    */
+  private val genSqlDuck: String =
+    """g AS (SELECT i AS id FROM generate_series(0, 99999) t(i)),
+      |b AS (SELECT id,
+      |  CASE WHEN id < 10000 THEN 'conv-hot-' || CAST(id % 4 AS VARCHAR)
+      |       ELSE 'conv-' || lpad(CAST((id - 10000) // 40 AS VARCHAR), 6, '0') END AS conv_id,
+      |  CASE WHEN id < 10000 THEN CAST(id // 4 AS INT) ELSE CAST((id - 10000) % 40 AS INT) END AS turn_idx
+      |  FROM g),
+      |r AS (SELECT id, conv_id, turn_idx,
+      |  CASE WHEN turn_idx % 8 = 6 THEN 'system' WHEN turn_idx % 8 = 7 THEN 'tool'
+      |       WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role FROM b),
+      |x AS (SELECT *,
+      |  CASE WHEN role = 'assistant' AND turn_idx % 3 = 1
+      |       THEN (['search', 'bash', 'edit', 'read', 'web'])[CAST((id * 7 + turn_idx) % 5 AS INT) + 1]
+      |       ELSE 'none' END AS tool FROM r)""".stripMargin.replace("\n", " ")
+
   /** DuckDB oracles for the generator-backed queries that ARE expressible in
-    * pure SQL (round-2 review item #8): both mirror the generators' index
-    * arithmetic over generate_series — no table reads.
+    * pure SQL (round-2 review item #8, extended to the whole pipe_* family):
+    * all mirror the generators' index arithmetic over generate_series — no
+    * table reads.
     */
   def oracleSql: Map[String, String] = Map(
+    "pipe_turn_order" ->
+      s"""WITH $genSqlDuck
+         |SELECT conv_id, turn_idx,
+         |  CAST(row_number() OVER w AS INT) AS turn_rank, role,
+         |  lag(role) OVER w AS prev_role
+         |FROM x WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""".stripMargin.replace("\n", " "),
+    "pipe_routes" ->
+      s"""WITH $genSqlDuck
+         |SELECT CASE WHEN id % 17 = 0 THEN 'errors'
+         |            WHEN tool IN ('bash', 'edit') THEN 'privileged_tools'
+         |            WHEN tool <> 'none' THEN 'tool_calls'
+         |            WHEN role = 'user' THEN 'user_turns'
+         |            WHEN role = 'assistant' THEN 'assistant_turns'
+         |            ELSE 'other' END AS route, count(*) AS cnt
+         |FROM x GROUP BY 1""".stripMargin.replace("\n", " "),
+    // Minute window: the base instant (1766944800) is minute-aligned and
+    // intra-minute seconds stay < 60, so date_trunc('minute', ts) =
+    // base + (id // rowsPerMinute) minutes. epoch_ms (not to_timestamp):
+    // the Spark dump reads back as a NAIVE parquet TIMESTAMP.
+    "pipe_rollup" ->
+      s"""WITH $genSqlDuck,
+         |w AS (SELECT conv_id, epoch_ms((1766944800 + (id // 5000) * 60) * 1000) AS window_start, tool, role FROM x),
+         |ex AS (
+         |  SELECT conv_id, window_start, 'tool' AS dim, tool AS key FROM w
+         |  UNION ALL
+         |  SELECT conv_id, window_start, 'role' AS dim, role AS key FROM w)
+         |SELECT conv_id, window_start, dim, key, count(*) AS cnt, 'minute' AS window_size
+         |FROM ex GROUP BY 1, 2, 3, 4""".stripMargin.replace("\n", " "),
+    // Map-valued sink form: Spark dumps to_json of a key-sorted map —
+    // byte-identical to a '{"k":v,...}' string_agg ordered by key.
+    "pipe_map_valued" ->
+      s"""WITH $genSqlDuck,
+         |w AS (SELECT conv_id, epoch_ms((1766944800 + (id // 5000) * 60) * 1000) AS window_start, tool, role FROM x),
+         |ex AS (
+         |  SELECT conv_id, window_start, 'tool' AS dim, tool AS key FROM w
+         |  UNION ALL
+         |  SELECT conv_id, window_start, 'role' AS dim, role AS key FROM w),
+         |agg AS (SELECT conv_id, window_start, dim, key, count(*) AS cnt FROM ex GROUP BY 1, 2, 3, 4)
+         |SELECT conv_id, window_start, 'minute' AS window_size,
+         |  '{' || string_agg(CASE WHEN dim = 'tool' THEN '"' || key || '":' || cnt END, ',' ORDER BY key) || '}' AS counts_by_tool,
+         |  '{' || string_agg(CASE WHEN dim = 'role' THEN '"' || key || '":' || cnt END, ',' ORDER BY key) || '}' AS counts_by_role
+         |FROM agg GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     // Unique entries after (batch_id, entry_idx) dedup correspond
     // BIJECTIVELY to p = 0..63999: p = ((b-1)·20 + i·3201) mod 64000 and
     // gcd-style argument (3201 ≡ 1 mod 20) make the stride interleave a
