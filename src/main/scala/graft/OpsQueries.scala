@@ -37,6 +37,11 @@ object OpsQueries {
                                 element_at(ws, i + 2))))
           ELSE array() END""").as("toks"))
 
+  // Null-signature caveat shared by every MinHash-derived oracle below:
+  // a <3-word doc has toks = [] and list_min(...) = NULL; SQL equi-joins
+  // never match NULL = NULL, so the oracle emits no pairs for token-less
+  // docs — exactly matching the Spark side, which filters them before
+  // banding (MinHash.candidatePairs null-signature guard, round-2 advice).
   private val shinglesSqlDuck =
     """CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
       |  list_distinct(list_transform(

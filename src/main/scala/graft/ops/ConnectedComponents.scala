@@ -10,17 +10,19 @@ import org.apache.spark.sql.functions._
   * contract the exact-dedup operator has, generalized to the transitive
   * closure.
   *
-  * Algorithm: iterative min-label propagation expressed as plain join/agg
-  * rounds — label(v) starts as v and each round becomes the min label over
-  * {v} ∪ N(v). Scale shape per round: ONE equi-join of the (id, label) table
-  * against the edge list plus ONE partial-aggregated groupBy(min) — ids and
-  * labels only, no payloads. Rounds = component DIAMETER, which for
-  * near-dup clusters is small (duplicates of a doc are mutual neighbors, so
-  * real clusters are star-like with diameter ≤ ~3); an adversarial
-  * million-hop chain would want the alternating large-star/small-star
-  * contraction (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond") — same join/agg primitives, O(log²) rounds — which this
-  * implementation's interface deliberately leaves room for.
+  * Algorithm: iterative min-label propagation WITH pointer doubling,
+  * expressed as plain join/agg rounds — label(v) starts as v and each round
+  * becomes the min label over {v} ∪ N(v), then is path-compressed to
+  * label(label(v)) (one self-join: label values are themselves vertex ids,
+  * so the label table indexes its own second hop). Scale shape per round:
+  * two equi-joins of the (id, label) table plus one partial-aggregated
+  * groupBy(min) — ids and labels only, no payloads. Propagation alone needs
+  * DIAMETER rounds; doubling compresses chains geometrically, giving
+  * O(log diameter) rounds — the same asymptotics as the alternating
+  * large-star/small-star contraction (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") with less per-round machinery. Real near-dup
+  * clusters are star-like (diameter ≤ ~3, 2-3 rounds); the log bound is for
+  * the adversarial revision-chain corpora web data does contain.
   *
   * Convergence is detected with a single tiny aggregate, not a join: labels
   * only ever DECREASE under min-propagation, so the label sum strictly
@@ -60,11 +62,21 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = edges
+      val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
         .unionByName(labels)
         .groupBy("id").agg(min("label").as("label"))
+      // Pointer doubling: label(v) ← label(label(v)). Every label value is
+      // itself a vertex id present in `propagated` (labels are mins over
+      // vertex ids), so the table indexes its own second hop; the left join
+      // + coalesce is only null-insurance. Labels only decrease, so the
+      // hop can never regress.
+      val hop = propagated
+        .select(col("id").as("__l"), col("label").as("label2"))
+      val next = propagated
+        .join(hop, propagated("label") === hop("__l"), "left")
+        .select(propagated("id"), coalesce(col("label2"), col("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0

@@ -31,6 +31,16 @@ class ClusterSpec extends SparkSpecBase {
     resolve(chain) shouldBe (1L to 10L).map(_ -> 1L).toMap
   }
 
+  test("pointer doubling: a 400-node chain converges in O(log n) rounds") {
+    // Pure propagation needs diameter (=399) rounds; resolve() throws if
+    // not converged within maxIters, so capping at 16 ≈ 2·log2(400) proves
+    // the doubling actually compresses paths geometrically.
+    val chain = (1L to 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = ConnectedComponents.resolve(chain, "id_a", "id_b", maxIters = 16)
+    labels.select("label").distinct().collect().map(_.getLong(0)) shouldBe Array(1L)
+    labels.count() shouldBe 400L
+  }
+
   test("labels are direction-independent (pair order never matters)") {
     resolve(Seq((5L, 2L), (9L, 5L))) shouldBe Map(2L -> 2L, 5L -> 2L, 9L -> 2L)
   }
