@@ -79,7 +79,11 @@ object PipelineJob {
     val skippedCommitted =
       if (committed.isEmpty) lit(false)
       else col("window_key").isin(committedSeq: _*)
-    val inScope = !late && !skippedCommitted
+    // coalesce: a null ts yields a null window_key and a NULL scope
+    // predicate — those rows must stay IN scope so validation quarantines
+    // them as ING_1000 (not be silently dropped by a null filter, which is
+    // what a resume run's watermark compare used to do to them).
+    val inScope = coalesce(!late && !skippedCommitted, lit(true))
 
     // --- E1 validation split BEFORE dedup: invalid rows may carry null key
     //     fields and would collapse under the dedup key instead of being

@@ -53,12 +53,14 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    if (labels.isEmpty) { edges.unpersist(); return labels }
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
 
+    // null sum ⇔ no vertices (empty pair set) — done before any iteration;
+    // this doubles as the emptiness check so no separate isEmpty job runs.
     var prevSum = labelSum(labels)
+    if (prevSum == null) { edges.unpersist(); return labels }
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {

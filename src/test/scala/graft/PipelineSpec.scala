@@ -178,6 +178,26 @@ class PipelineSpec extends SparkSpecBase {
     r2.metrics("rows_parsed") shouldBe 5000L
   }
 
+  test("null-ts rows are quarantined on resume runs too (null scope guard)") {
+    val out = tmpDir("pipe-nullts")
+    val raw = TranscriptGen.generate(spark, 2000, 4) // 2 minute-windows
+    val cfg = PipelineConfig(maxLineageWindows = 1)
+    PipelineJob.run(spark, raw, out, cfg, "t1") // leaves a nonempty watermark
+    // Resume run: a null-ts row has a null window_key, so the scope
+    // predicate evaluates NULL — it must be quarantined as ING_1000, not
+    // silently swallowed by a null filter.
+    val nullTs = raw.limit(1)
+      .withColumn("ts", lit(null).cast("timestamp"))
+      .withColumn("conv_id", lit("conv-null-ts"))
+    val raw2 = raw
+      .unionByName(raw.withColumn("ts", col("ts") + expr("INTERVAL 60 MINUTES")))
+      .unionByName(nullTs)
+    val r2 = PipelineJob.run(spark, raw2, out, cfg, "t2")
+    r2.metrics("rows_quarantined") shouldBe 1L
+    new TranscriptCatalog(out, spark).read("quarantine")
+      .filter(col("conv_id") === "conv-null-ts").count() shouldBe 1L
+  }
+
   test("quarantined rows are excluded from aggregates and recorded with codes") {
     val out = tmpDir("pipe-quar")
     val raw = TranscriptGen.generate(spark, 5000, 4)
