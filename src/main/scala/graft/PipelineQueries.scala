@@ -11,9 +11,10 @@ import graft.route.Router
 
 /** Transcript-pipeline operator queries over the deterministic generated
   * transcript table (pure index math — identical rows every run, so the
-  * parquet dumps are stable across reruns). These have no DuckDB oracle
-  * (the oracle only sees the sfDir tables) → the driver records rows-only
-  * checks; full value-level goldens live in the ScalaTest specs
+  * parquet dumps are stable across reruns). Because the generators are
+  * index arithmetic, their goldens ARE expressible in SQL: `oracleSql`
+  * below mirrors each query over generate_series (no table reads), and
+  * value-level goldens additionally live in the ScalaTest specs
   * (Scenario001Spec, PipelineSpec).
   */
 object PipelineQueries {

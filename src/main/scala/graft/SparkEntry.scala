@@ -24,8 +24,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the pipe_* generator-backed
-    * queries (non-SQL-expressible over sfDir) → driver records rows-only.
+    * the same parquet tables (generator-backed queries mirror their index
+    * arithmetic via generate_series — no table reads). Omitted only for
+    * sketch-based and iterative queries (approx_distinct/percentiles,
+    * quantile buckets, IVF) → driver records rows-only; each of those has
+    * a value-level or error-bound spec instead.
     */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

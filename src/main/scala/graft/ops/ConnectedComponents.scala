@@ -50,8 +50,12 @@ object ConnectedComponents {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // Init folds propagation round 1 in: label(v) = min({v} ∪ N(v)) comes
+    // straight off the edge list with one groupBy — one fewer loop round
+    // (each round is a fixed per-round scheduling cost at small scale).
+    var labels = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "id")
       .localCheckpoint()
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
