@@ -57,6 +57,28 @@ object OpsQueries {
     */
   private val SimhashBits = 64
 
+  /** (doc_id, simhash): the 64-bit SimHash fingerprint of each doc. */
+  private def simhashFp(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir).select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("hA"),
+        expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("hB"))
+    val bitSums = (0 until SimhashBits).map { i =>
+      val (src, sh) = if (i < 32) ("hA", i) else ("hB", i - 32)
+      sum(when(expr(s"(shiftright($src, $sh) & 1) = 1"), 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val summed = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // Bitwise OR, not +: bit 63's term is Long.MinValue and an arithmetic
+    // sum could overflow; each term owns one distinct bit so OR is exact.
+    val fp = (0 until SimhashBits).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
   /** dot(a, b) for double arrays via sequential fold (deterministic order). */
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
@@ -161,25 +183,31 @@ object OpsQueries {
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
-    "dd_simhash" -> ((s: SparkSession, dir: String) => {
-      val words = docs(s, dir).select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("w"))
-        .withColumn("h", md5(col("w")))
-        .select(col("doc_id"),
-          expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("hA"),
-          expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("hB"))
-      val bitSums = (0 until SimhashBits).map { i =>
-        val (src, sh) = if (i < 32) ("hA", i) else ("hB", i - 32)
-        sum(when(expr(s"(shiftright($src, $sh) & 1) = 1"), 1).otherwise(-1))
-          .as(s"v$i")
-      }
-      val summed = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      // Bitwise OR, not +: bit 63's term is Long.MinValue and an arithmetic
-      // sum could overflow; each term owns one distinct bit so OR is exact.
-      val fp = (0 until SimhashBits).map { i =>
-        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      summed.select(col("doc_id"), fp.as("simhash"))
+    "dd_simhash" -> ((s: SparkSession, dir: String) => simhashFp(s, dir)),
+
+    // --- DD4b: SimHash near-dup pairs (Manku/Google dedup shape): the
+    //     64-bit fingerprint splits into 4 × 16-bit bands; by pigeonhole,
+    //     any pair within Hamming distance 3 agrees on at least one whole
+    //     band, so candidates = band equi-join (O(n²/2^16) random
+    //     collisions per band, never all-pairs) and the exact Hamming
+    //     distance verifies each candidate with one xor+bit_count. ---
+    "dd_simhash_neardup" -> ((s: SparkSession, dir: String) => {
+      val fp = simhashFp(s, dir).localCheckpoint()
+      val banded = fp.select(col("doc_id"),
+        posexplode(array((0 until 4).map { j =>
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("band_idx", "band_val")))
+      val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
+      val cand = a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), Seq("doc_a"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+        .withColumn("is_dup", col("hamming") <= 3)
     }),
 
     // --- DD5: embedding-cosine near-dup pairs (single LshBits-bit bucket;
@@ -423,6 +451,19 @@ object OpsQueries {
            |hh AS (SELECT doc_id, ('0x' || substring(h, 1, 8))::BIGINT AS hA, ('0x' || substring(h, 9, 8))::BIGINT AS hB FROM w),
            |b AS (SELECT doc_id, $simhashSums FROM hh GROUP BY doc_id)
            |SELECT doc_id, $simhashFp AS simhash FROM b""".stripMargin.replace("\n", " "),
+      "dd_simhash_neardup" ->
+        s"""WITH w AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents),
+           |hh AS (SELECT doc_id, ('0x' || substring(h, 1, 8))::BIGINT AS hA, ('0x' || substring(h, 9, 8))::BIGINT AS hB FROM w),
+           |bs AS (SELECT doc_id, $simhashSums FROM hh GROUP BY doc_id),
+           |s AS (SELECT doc_id, $simhashFp AS simhash FROM bs),
+           |bands AS (SELECT doc_id, (simhash >> (j * 16)) & 65535 AS band_val, j AS band_idx
+           |          FROM s, generate_series(0, 3) t(j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b,
+           |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming,
+           |  bit_count(xor(sa.simhash, sb.simhash)) <= 3 AS is_dup
+           |FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b""".stripMargin.replace("\n", " "),
       "emb_neardup_cosine" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |eb AS (SELECT vec_id, v, ${Lsh.bucketSqlDuck("v", LshBits)} AS bucket FROM e)

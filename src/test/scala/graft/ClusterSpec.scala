@@ -45,6 +45,35 @@ class ClusterSpec extends SparkSpecBase {
     resolve(Seq((5L, 2L), (9L, 5L))) shouldBe Map(2L -> 2L, 5L -> 2L, 9L -> 2L)
   }
 
+  test("random graphs match a union-find reference (property check, fixed seeds)") {
+    // Deterministic pseudo-random graphs vs a driver-side union-find: the
+    // distributed min-label + pointer-doubling must agree with the
+    // textbook sequential algorithm on every component assignment.
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id representative per component
+      val rep = (0 until n).groupBy(find).map { case (r, ms) => r -> ms.min }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> rep(find(v.toInt)).toLong).toMap
+    }
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(20)
+      val edges = Seq.fill(15 + rnd.nextInt(25)) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      withClue(s"seed=$seed n=$n edges=${edges.size}: ") {
+        resolve(edges) shouldBe unionFind(n, edges)
+      }
+    }
+  }
+
   test("empty pair set yields an empty (not crashing) label table") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     ConnectedComponents.resolve(empty, "id_a", "id_b").count() shouldBe 0L

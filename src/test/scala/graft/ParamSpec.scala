@@ -102,6 +102,22 @@ class ParamSpec extends SparkSpecBase {
     pairs shouldBe Set((4L, 5L))
   }
 
+  test("SimHash 4x16 banding captures EVERY pair within hamming 3 (pigeonhole)") {
+    val dir = "/root/testdata/sf0.01"
+    val cand = OpsQueries.queries("dd_simhash_neardup")(spark, dir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = OpsQueries.queries("dd_simhash")(spark, dir).localCheckpoint()
+    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming ≤ 3 over 4 bands ⇒ at least one band untouched ⇒ candidate
+    truth.diff(cand) shouldBe empty
+  }
+
   test("MinHash banding: more bands => more candidates; more rows => fewer") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
