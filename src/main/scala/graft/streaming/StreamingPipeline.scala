@@ -126,6 +126,63 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming incremental near-duplicate dedup — the corpus-ingest twin
+    * of `graft.ops.IncrementalDedup`. Per micro-batch: (1) replay guard —
+    * a batch_id already present in the store means a foreachBatch retry,
+    * skip it (the reference's committed-batch idempotency,
+    * log_batch_store.go:42-59); (2) drop docs that near-duplicate any
+    * previously KEPT doc via the catalog-persisted band-signature store;
+    * (3) resolve within-batch near-dups greedily (a doc is dropped iff it
+    * candidates with a smaller-id doc of its own batch — deterministic,
+    * one ids-only band self-join); (4) append survivors to `docs_kept` and
+    * their signatures (+batch_id) to `signatures`.
+    *
+    * The cross-batch "state" is deliberately a TABLE, not a streaming
+    * state store: a corpus signature store grows O(corpus × bands) and
+    * outlives any executor state backend, while the per-batch cost stays
+    * one ids-only semi-join against it.
+    */
+  def neardupSink(
+      docs: DataFrame, // streaming (doc_id: long, text: string)
+      catalogRoot: String,
+      checkpoint: String,
+      bands: Int = 2,
+      rows: Int = 1
+  ): DataStreamWriter[Row] = {
+    import graft.ops.{IncrementalDedup, MinHash}
+    import graft.sink.TranscriptCatalog
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val catalog = new TranscriptCatalog(catalogRoot, batch.sparkSession)
+        val tok = IncrementalDedup.shingles(batch, "doc_id", "text")
+          .join(batch, Seq("doc_id"))
+        val emptyStore = IncrementalDedup
+          .signatures(tok.limit(0), "doc_id", "toks", bands, rows)
+          .withColumn("batch_id", lit(-1L))
+        val store =
+          if (catalog.exists("signatures")) catalog.read("signatures")
+          else emptyStore
+        val replayed = catalog.exists("signatures") &&
+          store.filter(col("batch_id") === batchId).limit(1).count() > 0
+        if (!replayed) {
+          val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
+            tok, store, "doc_id", "toks", bands, rows)
+          val dropWithin = MinHash
+            .candidatePairs(kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows)
+            .select(col("id_b").as("doc_id")).distinct()
+          val kept = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
+          val keptSigs = keptSigs0.join(dropWithin, Seq("doc_id"), "left_anti")
+          catalog.append(
+            kept.select(col("doc_id"), col("text"), lit(batchId).as("batch_id")),
+            "docs_kept")
+          catalog.append(keptSigs.withColumn("batch_id", lit(batchId)), "signatures")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Write the routed stream to per-route parquet sinks (K1/K2 analog):
     * one query, partitioned by route, exactly-once via checkpointed commits.
     */

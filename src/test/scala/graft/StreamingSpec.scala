@@ -99,6 +99,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup drops cross-batch and within-batch dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = tmpDir("stream-neardup")
+    val cp = tmpDir("stream-neardup-cp")
+    def run(): Unit = {
+      val q = StreamingPipeline.neardupSink(
+        mem.toDF().toDF("doc_id", "text"), out, cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: two fresh docs
+    mem.addData(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a completely different document about spark physical plans")
+    run()
+    // batch 2: cross-batch exact dup (10), cross-batch near-dup (11),
+    // fresh (12), token-less (13), within-batch dup of 12 (14)
+    mem.addData(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "a completely different document about spark physical plans indeed",
+      12L -> "entirely novel content regarding duckdb oracle checks",
+      13L -> "too short",
+      14L -> "entirely novel content regarding duckdb oracle checks")
+    run()
+    val kept = spark.read.parquet(s"$out/docs_kept")
+    kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 2L, 12L, 13L)
+    // the signature store holds kept docs only, tagged by batch
+    val sigs = spark.read.parquet(s"$out/signatures")
+    sigs.select("doc_id").distinct().collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 2L, 12L) // token-less doc 13 carries no signature
+    sigs.select("batch_id").distinct().count() shouldBe 2L
+  }
+
   test("streaming windowed counts equal the batch rollup on identical data") {
     implicit val sqlCtx = spark.sqlContext
     import graft.gen.TranscriptGen
