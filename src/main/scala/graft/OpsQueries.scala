@@ -367,6 +367,19 @@ object OpsQueries {
           .as("fingerprint"))
     }),
 
+    // --- MM2: frame sampling over decoded media — up to 4 evenly-strided
+    //     frame indices per media row (the fan-out stage of a video
+    //     pipeline). The decode is the documented stub, but the stub's
+    //     metadata arithmetic is deterministic, so the whole chain
+    //     (mapPartitions decode → codegen'd sequence/posexplode fan-out)
+    //     is DuckDB-oracle-checked end to end. ---
+    "mm_frame_sample" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Multimodal
+      val blobs = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      Multimodal.sampleFrames(Multimodal.decode(s, blobs).toDF(), maxFrames = 4)
+    }),
+
     // --- MM1: multimodal binary-column plumbing: treat content as an opaque
     //     blob; "decode" is a clearly-marked deterministic stub (the real
     //     decoder libs are absent in this container) but the schema,
@@ -515,6 +528,14 @@ object OpsQueries {
           |FROM documents""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
+      "mm_frame_sample" ->
+        """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+          |f AS (SELECT doc_id, CASE WHEN n % 3 = 2 THEN 1 + n % 8 ELSE 1 END AS frames FROM m),
+          |s AS (SELECT doc_id, frames, least(frames, 4) AS m FROM f),
+          |u AS (SELECT doc_id, frames, m, unnest(range(0, m)) AS i FROM s)
+          |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+          |  CAST((i * frames) // m AS INT) AS frame_idx
+          |FROM u""".stripMargin.replace("\n", " "),
       "mm_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  16 + octet_length(encode(text)) % 64 AS width,

@@ -61,4 +61,21 @@ object Multimodal {
   def repartitionBySize(df: DataFrame, numPartitions: Int): DataFrame =
     df.repartition(numPartitions,
       pmod(hash(col("doc_id"), length(col("blob"))), lit(numPartitions)))
+
+  /** Frame sampling over decoded media metadata: up to `maxFrames` evenly
+    * strided frame indices per row — sample i of m picks frame
+    * (i·frames) div m, so short clips keep every frame and long clips
+    * subsample uniformly. Pure Catalyst (sequence + transform + posexplode,
+    * whole-stage codegen); the frame EXTRACTION at those indices would sit
+    * in the decode stub's place, but the fan-out shape — the expensive,
+    * shuffle-relevant part at 100 TB — is the real thing.
+    */
+  def sampleFrames(meta: DataFrame, maxFrames: Int): DataFrame =
+    meta.select(col("doc_id"), col("frames"),
+        posexplode(expr(
+          s"""transform(sequence(0, least(frames, $maxFrames) - 1),
+             |  i -> CAST((i * frames) DIV least(frames, $maxFrames) AS INT))"""
+            .stripMargin.replace("\n", " ")))
+          .as(Seq("sample_idx", "frame_idx")))
+      .select("doc_id", "sample_idx", "frame_idx")
 }
