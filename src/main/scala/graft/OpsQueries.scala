@@ -310,6 +310,44 @@ object OpsQueries {
           round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    // --- CORPUS: the end-to-end training-corpus build — the composition a
+    //     real data pipeline runs nightly: quality-filter → exact dedup
+    //     (keep min doc per content hash) → near-dup CLUSTER resolution
+    //     (keep one representative per transitive cluster) → emit the
+    //     scrubbed corpus. Every stage reuses the catalog operators
+    //     (tx_quality's score, dd_exact_dup's keep rule, MinHash banding +
+    //     ConnectedComponents, tx_scrub's redaction), and the whole chain
+    //     is one DuckDB oracle incl. the recursive-CTE clustering. ---
+    "corpus_build" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.{ConnectedComponents, IncrementalDedup}
+      val ws = split(lower(col("text")), " ")
+      val nWords = size(ws)
+      val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")
+      val quality = least(lit(1.0), nWords.cast("double") / 50) *
+        (lit(1.0) - stops.cast("double") / nWords)
+      val qual = docs(s, dir).withColumn("quality", quality)
+        .filter(col("quality") >= 0.4)
+      val exactKeep = qual.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val kept1 = qual.join(exactKeep, Seq("doc_id"), "left_semi")
+        .persist()
+      val pairs = MinHash.candidatePairs(
+        IncrementalDedup.shingles(kept1, "doc_id", "text"),
+        "doc_id", "toks", MinhashBands, MinhashRows)
+      val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
+      val res = kept1.join(comps, Seq("doc_id"), "left")
+        .filter(col("label").isNull || col("label") === col("doc_id"))
+        .select(col("doc_id"), md5(scrubbed).as("scrub_hash"),
+          round(col("quality"), 4).as("quality"))
+        .localCheckpoint()
+      kept1.unpersist()
+      res
+    }),
+
     // --- TX1: quality scoring (length / stopword ratios) ---
     "tx_quality" -> ((s: SparkSession, dir: String) => {
       val ws = split(lower(col("text")), " ")
@@ -504,6 +542,32 @@ object OpsQueries {
            |  round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
            |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
            |WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""".stripMargin.replace("\n", " "),
+      "corpus_build" ->
+        s"""WITH RECURSIVE q0 AS (
+           |  SELECT doc_id, text,
+           |    least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) *
+           |    (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))) AS quality
+           |  FROM documents),
+           |q AS (SELECT * FROM q0 WHERE quality >= 0.4),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |k1 AS (SELECT q.* FROM q JOIN ek USING (doc_id)),
+           |tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM k1),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |pairs AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+           |edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db AS src, da AS dst FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+           |SELECT k1.doc_id,
+           |  md5(regexp_replace(regexp_replace(k1.text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS scrub_hash,
+           |  round(k1.quality, 4) AS quality
+           |FROM k1 LEFT JOIN comp c ON c.id = k1.doc_id
+           |WHERE c.rep IS NULL OR c.rep = k1.doc_id""".stripMargin.replace("\n", " "),
       "tx_quality" ->
         """SELECT doc_id,
           |  len(string_split(lower(text), ' ')) AS n_words,

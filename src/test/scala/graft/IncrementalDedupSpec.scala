@@ -14,16 +14,10 @@ class IncrementalDedupSpec extends SparkSpecBase {
   private val Bands = 2
   private val Rows = 1
 
-  // 3-shingle sets, same convention as OpsQueries.docShingles.
+  // 3-shingle sets via the shared tokenizer (same convention as
+  // OpsQueries.docShingles).
   private def toks(texts: Seq[(Long, String)]) =
-    texts.toDF("doc_id", "text")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .select(col("doc_id"),
-        expr("""CASE WHEN size(ws) >= 3 THEN
-          array_distinct(transform(sequence(1, size(ws) - 2),
-            i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-                                element_at(ws, i + 2))))
-          ELSE array() END""").as("toks"))
+    IncrementalDedup.shingles(texts.toDF("doc_id", "text"), "doc_id", "text")
 
   test("run 2 drops near-dups of run 1's corpus via the persisted store") {
     val out = tmpDir("inc-dedup")
