@@ -141,6 +141,15 @@ object StreamingPipeline {
     * state store: a corpus signature store grows O(corpus × bands) and
     * outlives any executor state backend, while the per-batch cost stays
     * one ids-only semi-join against it.
+    *
+    * Crash semantics: `docs_kept` is appended BEFORE `signatures`, and the
+    * replay guard reads `signatures` — so a crash between the two appends
+    * replays the batch, which can duplicate `docs_kept` rows (doc_id is
+    * unique, so readers dedupe trivially) but never the signature STATE
+    * that decides future dedup. The reverse order would instead silently
+    * LOSE kept docs on replay — at-least-once on the output, exactly-once
+    * on the state, is the right side of that tradeoff (same reasoning as
+    * the batch pipeline's lineage-before-manifest ordering).
     */
   def neardupSink(
       docs: DataFrame, // streaming (doc_id: long, text: string)
@@ -148,39 +157,50 @@ object StreamingPipeline {
       checkpoint: String,
       bands: Int = 2,
       rows: Int = 1
-  ): DataStreamWriter[Row] = {
-    import graft.ops.{IncrementalDedup, MinHash}
-    import graft.sink.TranscriptCatalog
+  ): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val catalog = new TranscriptCatalog(catalogRoot, batch.sparkSession)
-        val tok = IncrementalDedup.shingles(batch, "doc_id", "text")
-          .join(batch, Seq("doc_id"))
-        val emptyStore = IncrementalDedup
-          .signatures(tok.limit(0), "doc_id", "toks", bands, rows)
-          .withColumn("batch_id", lit(-1L))
-        val store =
-          if (catalog.exists("signatures")) catalog.read("signatures")
-          else emptyStore
-        val replayed = catalog.exists("signatures") &&
-          store.filter(col("batch_id") === batchId).limit(1).count() > 0
-        if (!replayed) {
-          val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
-            tok, store, "doc_id", "toks", bands, rows)
-          val dropWithin = MinHash
-            .candidatePairs(kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows)
-            .select(col("id_b").as("doc_id")).distinct()
-          val kept = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
-          val keptSigs = keptSigs0.join(dropWithin, Seq("doc_id"), "left_anti")
-          catalog.append(
-            kept.select(col("doc_id"), col("text"), lit(batchId).as("batch_id")),
-            "docs_kept")
-          catalog.append(keptSigs.withColumn("batch_id", lit(batchId)), "signatures")
-        }
-        ()
+        processNeardupBatch(batch, batchId, catalogRoot, bands, rows)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  /** One micro-batch of `neardupSink` (public so the replay guard and
+    * crash-ordering semantics are directly testable).
+    */
+  def processNeardupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      catalogRoot: String,
+      bands: Int,
+      rows: Int
+  ): Unit = {
+    import graft.ops.{IncrementalDedup, MinHash}
+    import graft.sink.TranscriptCatalog
+    val catalog = new TranscriptCatalog(catalogRoot, batch.sparkSession)
+    val tok = IncrementalDedup.shingles(batch, "doc_id", "text")
+      .join(batch, Seq("doc_id"))
+    val emptyStore = IncrementalDedup
+      .signatures(tok.limit(0), "doc_id", "toks", bands, rows)
+      .withColumn("batch_id", lit(-1L))
+    val store =
+      if (catalog.exists("signatures")) catalog.read("signatures")
+      else emptyStore
+    val replayed = catalog.exists("signatures") &&
+      store.filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!replayed) {
+      val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
+        tok, store, "doc_id", "toks", bands, rows)
+      val dropWithin = MinHash
+        .candidatePairs(kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows)
+        .select(col("id_b").as("doc_id")).distinct()
+      val kept = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
+      val keptSigs = keptSigs0.join(dropWithin, Seq("doc_id"), "left_anti")
+      catalog.append(
+        kept.select(col("doc_id"), col("text"), lit(batchId).as("batch_id")),
+        "docs_kept")
+      catalog.append(keptSigs.withColumn("batch_id", lit(batchId)), "signatures")
+    }
   }
 
   /** Write the routed stream to per-route parquet sinks (K1/K2 analog):

@@ -133,6 +133,19 @@ class StreamingSpec extends SparkSpecBase {
     sigs.select("batch_id").distinct().count() shouldBe 2L
   }
 
+  test("near-dup sink replay guard: reprocessing a committed batch_id is a no-op") {
+    val out = tmpDir("stream-neardup-replay")
+    val b = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    StreamingPipeline.processNeardupBatch(b, 0L, out, 2, 1)
+    val n1 = spark.read.parquet(s"$out/docs_kept").count()
+    // foreachBatch retry delivers the SAME batch id again
+    StreamingPipeline.processNeardupBatch(b, 0L, out, 2, 1)
+    spark.read.parquet(s"$out/docs_kept").count() shouldBe n1
+    spark.read.parquet(s"$out/signatures")
+      .select("batch_id").distinct().count() shouldBe 1L
+  }
+
   test("streaming windowed counts equal the batch rollup on identical data") {
     implicit val sqlCtx = spark.sqlContext
     import graft.gen.TranscriptGen
