@@ -284,6 +284,22 @@ object Queries {
         .select("event_id", "status_value")
     }),
 
+    // --- J4: keyless range (interval) join — every event matched to the
+    //     error-incident windows containing it. Bucketed into an EQUI join
+    //     (ops/RangeJoin): Spark's native plan for a pure range predicate
+    //     is a BroadcastNestedLoopJoin, O(n·m) compares; the bucket join is
+    //     hash-partitioned like any other (PlanSpec-gated). ---
+    "q_range_join" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.RangeJoin
+      val events = t(s, dir, "events")
+      val incidents = events.filter(col("event_type") === "error")
+        .select(col("ts").as("inc_start"),
+          (col("ts") + expr("INTERVAL 2 MINUTES")).as("inc_end"))
+      RangeJoin.bucketed(events.select("event_id", "ts"), "ts",
+          incidents, "inc_start", "inc_end", bucketWidthSec = 120)
+        .groupBy("event_id").agg(count(lit(1)).as("n_incidents"))
+    }),
+
     // --- E1b: error taxonomy — code → (category, http_status) surface
     //     (reference svcerrors categories + code tables) ---
     "q_error_taxonomy" -> ((s: SparkSession, dir: String) => {
@@ -517,6 +533,13 @@ object Queries {
         |f AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup')
         |SELECT f.event_id, d.status_value
         |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts""".stripMargin.replace("\n", " "),
+    "q_range_join" ->
+      """SELECT e.event_id, count(*) AS n_incidents
+        |FROM events e JOIN (
+        |  SELECT ts AS inc_start, ts + INTERVAL 2 MINUTE AS inc_end
+        |  FROM events WHERE event_type = 'error') i
+        |  ON e.ts >= i.inc_start AND e.ts <= i.inc_end
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_error_taxonomy" -> {
       import graft.model.ErrorTaxonomy
       val cat = ErrorTaxonomy.categorySqlDuck("error_code")
