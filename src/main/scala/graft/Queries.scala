@@ -338,6 +338,30 @@ object Queries {
         round(cume_dist().over(w), 6).as("cdist"))
     }),
 
+    // --- W3: SLIDING windows (2-minute span, 1-minute slide): each event
+    //     lands in span/slide windows — the overlap factor is the fan-out
+    //     cost, and Catalyst's window() generator + two-phase agg keep it
+    //     one shuffle of (window, key) partials ---
+    "q_sliding_window" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+    }),
+
+    // --- W4: SESSION windows as a native aggregation — Spark's
+    //     session_window() merges per-key gap-bounded spans inside the
+    //     aggregate itself (sort-based session merge), the declarative twin
+    //     of q_sessionize's running-sum construction ---
+    "q_session_window" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("user_id"), col("cnt"))
+    }),
+
     // --- T1: unpivot (wide measures → long layout) via the stack
     //     generator — the schema-migration workhorse ---
     "q_unpivot" -> ((s: SparkSession, dir: String) => {
@@ -562,6 +586,27 @@ object Queries {
         |  round(cume_dist() OVER w, 6) AS cdist
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin.replace("\n", " "),
+    "q_sliding_window" ->
+      """SELECT window_start, event_type, count(*) AS cnt FROM (
+        |  SELECT unnest([date_trunc('minute', ts) - INTERVAL 1 MINUTE,
+        |                 date_trunc('minute', ts)]) AS window_start,
+        |         event_type
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |x AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM s)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS cnt
+        |FROM x GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
     "q_unpivot" ->
       """SELECT event_id, 'value' AS measure, value AS val FROM events
         |UNION ALL
