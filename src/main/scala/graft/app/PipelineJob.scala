@@ -169,6 +169,14 @@ object PipelineJob {
     // One read-back computes route counts AND per-window lineage for THIS
     // run's windows only (partition-pruned + column-pruned scan — an
     // incremental run must never rescan the whole history table).
+    // Why not a third Observation on the routed write (round-2 review's
+    // optional item): an Observation can carry per-ROUTE conditional
+    // counts (routes are a fixed enum) but NOT per-WINDOW lineage (windows
+    // are unbounded data values, and CollectMetrics has no grouping) — so
+    // the pruned read-back is needed for lineage either way, route counts
+    // ride the same single scan for free, and a third Observation would
+    // only add another whole-stage-codegen break to the hot path
+    // (measured ~2-3%/node at 40M turns). Strictly worse; not taken.
     val routeWindowCounts = timer("route_counts") {
       val routedNow = catalog.read("routed")
       val afterWm =
