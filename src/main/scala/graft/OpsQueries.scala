@@ -325,26 +325,37 @@ object OpsQueries {
       val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")
       val quality = least(lit(1.0), nWords.cast("double") / 50) *
         (lit(1.0) - stops.cast("double") / nWords)
-      val qual = docs(s, dir).withColumn("quality", quality)
-        .filter(col("quality") >= 0.4)
-      val exactKeep = qual.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val kept1 = qual.join(exactKeep, Seq("doc_id"), "left_semi")
-        .persist()
-      val pairs = MinHash.candidatePairs(
-        IncrementalDedup.shingles(kept1, "doc_id", "text"),
-        "doc_id", "toks", MinhashBands, MinhashRows)
-      val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
       val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val scrubbed = regexp_replace(
         regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
-      val res = kept1.join(comps, Seq("doc_id"), "left")
+      // ONE pass derives everything downstream needs from text — quality,
+      // content hash, scrub hash, shingles — so the wide text column never
+      // has to be cached or re-shuffled: the only persisted state from
+      // here on is NARROW (ids + hashes + quality + toks); at corpus
+      // scale, caching text-bearing rows is the shape that dies first.
+      val derived = IncrementalDedup.shingles(
+          docs(s, dir).withColumn("quality", quality)
+            .filter(col("quality") >= 0.4)
+            .withColumn("h", md5(col("text")))
+            .withColumn("scrub_hash", md5(scrubbed)),
+          "doc_id", "text")
+        .drop("text")
+      val meta = derived.select("doc_id", "quality", "h", "scrub_hash").persist()
+      val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val pairs = MinHash.candidatePairs(
+        derived.join(exactKeep, Seq("doc_id"), "left_semi")
+          .select("doc_id", "toks"),
+        "doc_id", "toks", MinhashBands, MinhashRows)
+      val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val res = meta.join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(comps, Seq("doc_id"), "left")
         .filter(col("label").isNull || col("label") === col("doc_id"))
-        .select(col("doc_id"), md5(scrubbed).as("scrub_hash"),
+        .select(col("doc_id"), col("scrub_hash"),
           round(col("quality"), 4).as("quality"))
         .localCheckpoint()
-      kept1.unpersist()
+      meta.unpersist()
       res
     }),
 

@@ -22,18 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** 3-word shingle set of a text column (the same convention as the
-    * documents-table queries: split on single spaces, lowercase, distinct
-    * 3-grams; <3-word docs get an EMPTY set and thus no signature).
+  /** Append a `toks` column: the 3-word shingle set of `textCol` (same
+    * convention as the documents-table queries: split on single spaces,
+    * lowercase, distinct 3-grams; <3-word docs get an EMPTY set and thus
+    * no signature). All other columns are preserved. The word split is
+    * materialized in its own projection so it is evaluated once per row,
+    * not once per shingle element.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), split(lower(col(textCol)), " ").as("__ws"))
-      .select(col(idCol),
+    df.withColumn("__ws", split(lower(col(textCol)), " "))
+      .withColumn("toks",
         expr("""CASE WHEN size(__ws) >= 3 THEN
           array_distinct(transform(sequence(1, size(__ws) - 2),
             i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1),
                                 element_at(__ws, i + 2))))
-          ELSE array() END""").as("toks"))
+          ELSE array() END"""))
+      .drop("__ws")
 
   /** Exploded banded MinHash signatures (idCol, band_idx, band_hash) of a
     * doc batch — the store's row format.

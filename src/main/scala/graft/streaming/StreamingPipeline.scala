@@ -178,8 +178,8 @@ object StreamingPipeline {
     import graft.ops.{IncrementalDedup, MinHash}
     import graft.sink.TranscriptCatalog
     val catalog = new TranscriptCatalog(catalogRoot, batch.sparkSession)
+    // shingles is column-preserving, so text rides along for the kept sink
     val tok = IncrementalDedup.shingles(batch, "doc_id", "text")
-      .join(batch, Seq("doc_id"))
     val emptyStore = IncrementalDedup
       .signatures(tok.limit(0), "doc_id", "toks", bands, rows)
       .withColumn("batch_id", lit(-1L))
