@@ -362,6 +362,18 @@ object Queries {
           col("w.end").as("session_end"), col("user_id"), col("cnt"))
     }),
 
+    // --- O6: bounded-frame rolling aggregate (4-event moving average per
+    //     user): the smoothing window every rate dashboard runs; the frame
+    //     is ROWS-bounded so state per key is O(frame), not O(partition) ---
+    "q_moving_avg" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+      t(s, dir, "events").select(
+        col("event_id"),
+        round(avg(col("value")).over(w), 4).as("mavg4"))
+    }),
+
     // --- T1: unpivot (wide measures → long layout) via the stack
     //     generator — the schema-migration workhorse ---
     "q_unpivot" -> ((s: SparkSession, dir: String) => {
@@ -586,6 +598,11 @@ object Queries {
         |  round(cume_dist() OVER w, 6) AS cdist
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin.replace("\n", " "),
+    "q_moving_avg" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg4
+        |FROM events""".stripMargin.replace("\n", " "),
     "q_sliding_window" ->
       """SELECT window_start, event_type, count(*) AS cnt FROM (
         |  SELECT unnest([date_trunc('minute', ts) - INTERVAL 1 MINUTE,
