@@ -392,6 +392,21 @@ object OpsQueries {
           .as("re_tokens"))
     }),
 
+    // --- TX6: corpus n-gram frequency — the vocabulary-building pass of a
+    //     tokenizer pipeline: every bigram occurrence counted (not
+    //     per-doc-distinct), global top-50 with a deterministic tiebreak.
+    //     Explode → two-phase count → TakeOrdered: the explode fan-out is
+    //     the only row multiplication and it collapses map-side. ---
+    "tx_ngram_freq" -> ((s: SparkSession, dir: String) => {
+      docs(s, dir).select(split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc).limit(50)
+    }),
+
     // --- TX5: PII scrubbing — the redaction pass every training-data
     //     pipeline runs before tokenization (emails + number spans →
     //     placeholder tokens; count of redactions per doc; scrubbed text
@@ -595,6 +610,13 @@ object OpsQueries {
         """SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
           |FROM documents""".stripMargin.replace("\n", " "),
+      "tx_ngram_freq" ->
+        """SELECT bigram, count(*) AS cnt FROM (
+          |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+          |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          |  FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
+          |  WHERE len(ws) >= 2)
+          |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin.replace("\n", " "),
       "tx_scrub" ->
         """SELECT doc_id,
           |  md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS scrub_hash,

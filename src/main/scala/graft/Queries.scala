@@ -374,6 +374,41 @@ object Queries {
         round(avg(col("value")).over(w), 4).as("mavg4"))
     }),
 
+    // --- O7: lead window — time to each user's NEXT event (the
+    //     latency/churn gap metric; null on the last event) ---
+    "q_next_gap" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      t(s, dir, "events").select(
+        col("event_id"),
+        (lead(us, 1).over(w) - us).as("gap_us"))
+    }),
+
+    // --- A12: ratio-to-report — each group's share of the total via an
+    //     unpartitioned window OVER THE AGGREGATE (5 rows), never over raw
+    //     events; the aggregate-then-window order is what makes a global
+    //     window safe at scale ---
+    "q_share_of_total" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("share",
+          round(col("cnt") / sum("cnt").over(Window.partitionBy()), 6))
+    }),
+
+    // --- D2: keep-latest compaction (SCD-1 / CDC upsert shape): one
+    //     surviving row per (user, type) = the most recent version ---
+    "q_dedup_keep_latest" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("user_id", "event_type", "event_id")
+    }),
+
     // --- T1: unpivot (wide measures → long layout) via the stack
     //     generator — the schema-migration workhorse ---
     "q_unpivot" -> ((s: SparkSession, dir: String) => {
@@ -598,6 +633,21 @@ object Queries {
         |  round(cume_dist() OVER w, 6) AS cdist
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin.replace("\n", " "),
+    "q_next_gap" ->
+      """SELECT event_id,
+        |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - epoch_us(ts) AS gap_us
+        |FROM events""".stripMargin.replace("\n", " "),
+    "q_share_of_total" ->
+      """SELECT event_type, cnt, round(cnt / sum(cnt) OVER (), 6) AS share
+        |FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)""".stripMargin.replace("\n", " "),
+    "q_dedup_keep_latest" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin.replace("\n", " "),
     "q_moving_avg" ->
       """SELECT event_id,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
