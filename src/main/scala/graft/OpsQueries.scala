@@ -23,19 +23,12 @@ object OpsQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** (doc_id, toks) — 3-word shingle set (guarded for <3-word docs) with the word split materialized in its own projection
-    * so `split(lower(text))` is evaluated once per row, not once per shingle
-    * element (CollapseProject keeps non-cheap exprs from being inlined).
+  /** (doc_id, toks) — the shared 3-word shingle tokenizer
+    * (graft.ops.IncrementalDedup.shingles) over the documents table.
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .select(col("doc_id"),
-        expr("""CASE WHEN size(ws) >= 3 THEN
-          array_distinct(transform(sequence(1, size(ws) - 2),
-            i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-                                element_at(ws, i + 2))))
-          ELSE array() END""").as("toks"))
+    graft.ops.IncrementalDedup.shingles(docs(spark, dir), "text")
+      .select("doc_id", "toks")
 
   // Null-signature caveat shared by every MinHash-derived oracle below:
   // a <3-word doc has toks = [] and list_min(...) = NULL; SQL equi-joins
@@ -338,7 +331,7 @@ object OpsQueries {
             .filter(col("quality") >= 0.4)
             .withColumn("h", md5(col("text")))
             .withColumn("scrub_hash", md5(scrubbed)),
-          "doc_id", "text")
+          "text")
         .drop("text")
       val meta = derived.select("doc_id", "quality", "h", "scrub_hash").persist()
       val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))

@@ -661,10 +661,12 @@ object Queries {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q_session_window" ->
+      // >= (not >): Spark's session_window is half-open [ts, ts+gap), so a
+      // gap of EXACTLY 30 min starts a new session (round-3 review).
       """WITH s AS (
         |  SELECT user_id, ts,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |x AS (SELECT user_id, ts,

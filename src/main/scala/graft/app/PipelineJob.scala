@@ -141,15 +141,22 @@ object PipelineJob {
     //     delete every uncommitted window partition up front. ---
     //     Quarantine partitions are swept too (round-2 advice): a replay
     //     whose data no longer yields quarantine rows for a window would
-    //     otherwise leak the dead run's rows into quarantine counts. The
-    //     synthetic "invalid" window_key sorts above any timestamp-shaped
-    //     watermark and is never in the committed set, so it is GC'd with
-    //     the same predicate. ---
+    //     otherwise leak the dead run's rows into quarantine counts.
+    //     Quarantine windows never enter the routed committed set (they
+    //     carry no routed data — including the synthetic "invalid"
+    //     partition), so the manifest tracks committed quarantine
+    //     partitions SEPARATELY and GC spares exactly those (round-3
+    //     self-review: the naive shared predicate wiped a committed run's
+    //     quarantine history on the next run). ---
+    val quarCommitted = prior.map(_.quarantinePartitions.toSet).getOrElse(Set.empty)
     val gcCount = timer("partition_gc") {
-      Seq("routed", "aggregates", "quarantine").map { t =>
+      Seq("routed", "aggregates").map { t =>
         catalog.dropPartitions(t, "window_key",
           wk => wk > watermark && !committed.contains(wk)).size
-      }.sum
+      }.sum +
+        catalog.dropPartitions("quarantine", "window_key",
+          wk => wk > watermark && !committed.contains(wk) &&
+            !quarCommitted.contains(wk)).size
     }
 
     // --- enrich (broadcast dims) ---
@@ -210,11 +217,15 @@ object PipelineJob {
     // The reference's most-watched operational counter: rows dropped as
     // duplicates (its 409 already-processed analog, ingestion_service.go:79-83).
     val duplicatesDropped = rowsValid - rowsParsed
-    if (quarantined > 0)
-      catalog.overwritePartitions(
-        quarantine.withColumn("window_key",
-          coalesce(col("window_key"), lit("invalid"))),
-        "quarantine", Seq("window_key"))
+    val quarWrittenNow: Seq[String] =
+      if (quarantined > 0) {
+        val q = quarantine.withColumn("window_key",
+          coalesce(col("window_key"), lit("invalid")))
+        catalog.overwritePartitions(q, "quarantine", Seq("window_key"))
+        // record the written partitions so GC can tell committed quarantine
+        // history from dead-run orphans (bounded: this run's windows + 1)
+        q.select("window_key").distinct().collect().map(_.getString(0)).toSeq
+      } else Nil
 
     // --- rollup: read back the routed table scoped to this run's windows
     //     (partition-pruned scan — the isin on the partition column prunes
@@ -286,7 +297,8 @@ object PipelineJob {
     Checkpoint.write(checkpointDir,
       Checkpoint.compact(
         Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition),
-          metrics, watermark, prior.map(_.foldedRows).getOrElse(0L)),
+          metrics, watermark, prior.map(_.foldedRows).getOrElse(0L),
+          (quarCommitted ++ quarWrittenNow).toSeq),
         config.maxLineageWindows))
 
     Result(metrics, routeCounts, todo)

@@ -26,12 +26,23 @@ object Checkpoint {
     * grows forever (round-1 advice). Full per-run lineage history stays
     * queryable in the append-only `lineage` table.
     */
+  /** `quarantinePartitions`: quarantine sink partitions written by
+    * COMMITTED runs. Quarantine windows never enter `committedPartitions`
+    * (they carry no routed data — including the synthetic "invalid"
+    * partition for null-ts rows), so without this list the crash-recovery
+    * GC would wipe a committed run's quarantine history on the next run
+    * (round-3 self-review finding). Compaction prunes entries at or below
+    * the watermark: the GC predicate only ever touches keys above it, so
+    * the list stays bounded ("invalid" sorts above any timestamp key and
+    * is the one permanent entry).
+    */
   final case class Manifest(
       runId: String,
       committedPartitions: Seq[PartitionLineage],
       metrics: Map[String, Long],
       watermark: String = "",
-      foldedRows: Long = 0L
+      foldedRows: Long = 0L,
+      quarantinePartitions: Seq[String] = Nil
   ) {
     def committedSet: Set[String] = committedPartitions.map(_.partition).toSet
   }
@@ -41,15 +52,19 @@ object Checkpoint {
     * time order (yyyyMMdd'T'HHmm'Z').
     */
   def compact(m: Manifest, maxWindows: Int): Manifest = {
-    if (m.committedPartitions.size <= maxWindows) m
-    else {
-      val sorted = m.committedPartitions.sortBy(_.partition)
-      val (fold, keep) = sorted.splitAt(sorted.size - maxWindows)
-      m.copy(
-        committedPartitions = keep,
-        watermark = Seq(m.watermark, fold.last.partition).max,
-        foldedRows = m.foldedRows + fold.map(_.rows).sum)
-    }
+    val c =
+      if (m.committedPartitions.size <= maxWindows) m
+      else {
+        val sorted = m.committedPartitions.sortBy(_.partition)
+        val (fold, keep) = sorted.splitAt(sorted.size - maxWindows)
+        m.copy(
+          committedPartitions = keep,
+          watermark = Seq(m.watermark, fold.last.partition).max,
+          foldedRows = m.foldedRows + fold.map(_.rows).sum)
+      }
+    // Quarantine keys at/below the watermark are out of GC's reach — prune.
+    c.copy(quarantinePartitions =
+      c.quarantinePartitions.filter(_ > c.watermark).distinct.sorted)
   }
 
   private def esc(s: String): String =
@@ -67,9 +82,12 @@ object Checkpoint {
       .mkString("[", ",", "]")
     val metrics = m.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val quar = m.quarantinePartitions
+      .map(q => s""""${esc(q)}"""").mkString("[", ",", "]")
     val json =
       s"""{"runId":"${esc(m.runId)}","watermark":"${esc(m.watermark)}",""" +
-        s""""foldedRows":${m.foldedRows},"committedPartitions":$parts,"metrics":$metrics}"""
+        s""""foldedRows":${m.foldedRows},"committedPartitions":$parts,""" +
+        s""""quarantinePartitions":$quar,"metrics":$metrics}"""
     val tmp = Paths.get(dir, s".manifest.${m.runId}.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(dir, "manifest.json"),
@@ -95,7 +113,12 @@ object Checkpoint {
     val metricRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
     val metrics = metricRe.findAllMatchIn(metricsBlock)
       .map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
-    Some(Manifest(unesc(runId), parts, metrics, unesc(watermark), foldedRows))
+    // absent in pre-round-3 manifests -> Nil (forward-compatible read)
+    val quarBlock = """"quarantinePartitions":\[([^\]]*)\]""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val quar = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(quarBlock)
+      .map(m => unesc(m.group(1))).toSeq
+    Some(Manifest(unesc(runId), parts, metrics, unesc(watermark), foldedRows, quar))
   }
 
   private def unesc(s: String): String = {

@@ -90,8 +90,8 @@ object ConnectedComponents {
       labels = next
       it += 1
     }
+    edges.unpersist() // before the require: a throw must not leak the cache
     require(converged, s"connected components did not converge in $maxIters rounds")
-    edges.unpersist()
     labels
   }
 }

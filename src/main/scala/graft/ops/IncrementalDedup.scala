@@ -22,14 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** Append a `toks` column: the 3-word shingle set of `textCol` (same
-    * convention as the documents-table queries: split on single spaces,
-    * lowercase, distinct 3-grams; <3-word docs get an EMPTY set and thus
-    * no signature). All other columns are preserved. The word split is
-    * materialized in its own projection so it is evaluated once per row,
-    * not once per shingle element.
+  /** Append a `toks` column: the 3-word shingle set of `textCol` (split on
+    * single spaces, lowercase, distinct 3-grams; <3-word docs get an EMPTY
+    * set and thus no signature). THE one Scala copy of the tokenizer
+    * convention — OpsQueries.docShingles delegates here, and
+    * OpsQueries.shinglesSqlDuck is its DuckDB mirror. All other columns
+    * are preserved. The word split is materialized in its own projection
+    * so it is evaluated once per row, not once per shingle element.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def shingles(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__ws", split(lower(col(textCol)), " "))
       .withColumn("toks",
         expr("""CASE WHEN size(__ws) >= 3 THEN

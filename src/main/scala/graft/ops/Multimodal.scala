@@ -72,9 +72,14 @@ object Multimodal {
     */
   def sampleFrames(meta: DataFrame, maxFrames: Int): DataFrame =
     meta.select(col("doc_id"), col("frames"),
+        // frames = 0 (a real decoder's corrupt/empty-media output) must
+        // yield ZERO samples — unguarded, sequence(0, -1) would count DOWN
+        // to [0, -1] and divide by zero (round-3 review).
         posexplode(expr(
-          s"""transform(sequence(0, least(frames, $maxFrames) - 1),
-             |  i -> CAST((i * frames) DIV least(frames, $maxFrames) AS INT))"""
+          s"""CASE WHEN frames > 0 THEN
+             |  transform(sequence(0, least(frames, $maxFrames) - 1),
+             |    i -> CAST((i * frames) DIV least(frames, $maxFrames) AS INT))
+             |ELSE array() END"""
             .stripMargin.replace("\n", " ")))
           .as(Seq("sample_idx", "frame_idx")))
       .select("doc_id", "sample_idx", "frame_idx")

@@ -40,6 +40,23 @@ object Similarity {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Deterministic synthetic vector set for specs and plan dumps (pure
+    * hash arithmetic over spark.range — no RNG), already `prepare`d.
+    * One definition so the plan-shape gates, the equivalence specs, and
+    * the dumped PLANS.md all exercise the identical data shape.
+    */
+  def syntheticVectors(
+      spark: SparkSession,
+      n: Long,
+      dim: Int = 64,
+      partitions: Int = 4
+  ): DataFrame =
+    prepare(spark.range(0, n, 1, partitions).toDF("vec_id")
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(1, $dim),
+           |  i -> CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 500.0 - 1.0)"""
+          .stripMargin.replace("\n", " ")).as("embedding")))
+
   /** Vectors as (vec_id, v: array<double>, nrm). */
   def prepare(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),

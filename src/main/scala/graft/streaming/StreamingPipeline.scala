@@ -179,7 +179,7 @@ object StreamingPipeline {
     import graft.sink.TranscriptCatalog
     val catalog = new TranscriptCatalog(catalogRoot, batch.sparkSession)
     // shingles is column-preserving, so text rides along for the kept sink
-    val tok = IncrementalDedup.shingles(batch, "doc_id", "text")
+    val tok = IncrementalDedup.shingles(batch, "text")
     val emptyStore = IncrementalDedup
       .signatures(tok.limit(0), "doc_id", "toks", bands, rows)
       .withColumn("batch_id", lit(-1L))
@@ -199,7 +199,17 @@ object StreamingPipeline {
       catalog.append(
         kept.select(col("doc_id"), col("text"), lit(batchId).as("batch_id")),
         "docs_kept")
-      catalog.append(keptSigs.withColumn("batch_id", lit(batchId)), "signatures")
+      // Always append a per-batch MARKER row alongside the real signatures:
+      // a batch whose kept docs are all token-less writes zero signature
+      // rows, and without the marker its batch_id would never register, so
+      // every retry would re-append its docs_kept rows (round-3 review).
+      // band_idx = -1 / null hash can never equi-match a real signature.
+      val marker = batch.sparkSession.range(1)
+        .select(lit(-1L).as("doc_id"), lit(-1).as("band_idx"),
+          lit(null).cast("string").as("band_hash"), lit(batchId).as("batch_id"))
+      catalog.append(
+        keptSigs.withColumn("batch_id", lit(batchId)).unionByName(marker),
+        "signatures")
     }
   }
 

@@ -17,7 +17,7 @@ class IncrementalDedupSpec extends SparkSpecBase {
   // 3-shingle sets via the shared tokenizer (same convention as
   // OpsQueries.docShingles).
   private def toks(texts: Seq[(Long, String)]) =
-    IncrementalDedup.shingles(texts.toDF("doc_id", "text"), "doc_id", "text")
+    IncrementalDedup.shingles(texts.toDF("doc_id", "text"), "text")
 
   test("run 2 drops near-dups of run 1's corpus via the persisted store") {
     val out = tmpDir("inc-dedup")

@@ -198,6 +198,39 @@ class PipelineSpec extends SparkSpecBase {
       .filter(col("conv_id") === "conv-null-ts").count() shouldBe 1L
   }
 
+  test("committed quarantine history survives later runs' crash-recovery GC") {
+    val out = tmpDir("pipe-quar-gc")
+    // Run 1: one null-ts row (→ synthetic "invalid" partition — a key that
+    // can never enter the routed committed set) plus normal data.
+    val raw = TranscriptGen.generate(spark, 2000, 4)
+    val nullTs = raw.limit(1)
+      .withColumn("ts", lit(null).cast("timestamp"))
+      .withColumn("conv_id", lit("conv-quar-gc"))
+    val r1 = PipelineJob.run(spark, raw.unionByName(nullTs), out,
+      PipelineConfig(), "t1")
+    r1.metrics("rows_quarantined") shouldBe 1L
+    val catalog = new TranscriptCatalog(out, spark)
+    catalog.read("quarantine").count() shouldBe 1L
+    // Run 2 on new windows: GC must NOT wipe run 1's committed quarantine.
+    val later = raw.withColumn("ts", col("ts") + expr("INTERVAL 60 MINUTES"))
+    PipelineJob.run(spark, later, out, PipelineConfig(), "t2")
+    catalog.read("quarantine")
+      .filter(col("conv_id") === "conv-quar-gc").count() shouldBe 1L
+    // ...while a genuinely ORPHANED quarantine partition (no manifest
+    // record) is still swept on the next run.
+    val orphan = new java.io.File(s"$out/quarantine/window_key=99990101T0000Z")
+    orphan.mkdirs()
+    val src = new java.io.File(s"$out/quarantine/window_key=invalid")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(orphan, src.getName).toPath)
+    val evenLater = raw.withColumn("ts", col("ts") + expr("INTERVAL 120 MINUTES"))
+    PipelineJob.run(spark, evenLater, out, PipelineConfig(), "t3")
+    orphan.exists() shouldBe false
+    catalog.read("quarantine")
+      .filter(col("conv_id") === "conv-quar-gc").count() shouldBe 1L
+  }
+
   test("quarantined rows are excluded from aggregates and recorded with codes") {
     val out = tmpDir("pipe-quar")
     val raw = TranscriptGen.generate(spark, 5000, 4)

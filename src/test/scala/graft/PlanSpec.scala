@@ -91,12 +91,7 @@ class PlanSpec extends SparkSpecBase {
     // plan must be: scan → single-row broadcast (cell argmax projection) →
     // BroadcastHashJoin on cell → TakeOrderedAndProject. Any hash exchange
     // would mean the VECTOR payload is being shuffled.
-    val syn = graft.ops.Similarity.prepare(
-      spark.range(0, 2000, 1, 4).toDF("vec_id")
-        .select(col("vec_id"), expr(
-          """transform(sequence(1, 64),
-            |  i -> CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 500.0 - 1.0)"""
-            .stripMargin.replace("\n", " ")).as("embedding")))
+    val syn = graft.ops.Similarity.syntheticVectors(spark, 2000)
     val cents = graft.ops.Similarity.buildIvfTable(syn, nCells = 512)
     val p = plan(graft.ops.Similarity.ivfTopKBroadcast(
       syn, 0, 10, nCells = 512, nprobe = 64, centsOpt = Some(cents)))

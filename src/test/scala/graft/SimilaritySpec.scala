@@ -87,14 +87,7 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("DataFrame-built IVF scales past literal centroids (nCells=512, synthetic 5000)") {
-    // 5000 deterministic synthetic vectors (hash arithmetic — no RNG).
-    val syn = Similarity.prepare(
-      spark.range(0, 5000, 1, 8).toDF("vec_id")
-        .select(col("vec_id"), expr(
-          """transform(sequence(1, 64),
-            |  i -> CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 500.0 - 1.0)"""
-            .stripMargin.replace("\n", " ")).as("embedding")))
-      .persist()
+    val syn = Similarity.syntheticVectors(spark, 5000, partitions = 8).persist()
     val cents = Similarity.buildIvfTable(syn, nCells = 512)
     cents.count() shouldBe 512L
     val assigned = Similarity.assignCellBroadcast(syn, cents)

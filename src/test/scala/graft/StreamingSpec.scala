@@ -126,19 +126,23 @@ class StreamingSpec extends SparkSpecBase {
     val kept = spark.read.parquet(s"$out/docs_kept")
     kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
       Array(1L, 2L, 12L, 13L)
-    // the signature store holds kept docs only, tagged by batch
+    // the signature store holds kept docs only (doc_id -1 = the per-batch
+    // replay marker), tagged by batch
     val sigs = spark.read.parquet(s"$out/signatures")
     sigs.select("doc_id").distinct().collect().map(_.getLong(0)).sorted shouldBe
-      Array(1L, 2L, 12L) // token-less doc 13 carries no signature
+      Array(-1L, 1L, 2L, 12L) // token-less doc 13 carries no signature
     sigs.select("batch_id").distinct().count() shouldBe 2L
   }
 
   test("near-dup sink replay guard: reprocessing a committed batch_id is a no-op") {
     val out = tmpDir("stream-neardup-replay")
-    val b = Seq(1L -> "the quick brown fox jumps over the lazy dog")
-      .toDF("doc_id", "text")
+    // The hard case: a batch whose ONLY kept doc is token-less writes zero
+    // real signature rows — the per-batch marker must still register the
+    // batch_id, or every retry would re-append docs_kept (round-3 review).
+    val b = Seq(1L -> "too short").toDF("doc_id", "text")
     StreamingPipeline.processNeardupBatch(b, 0L, out, 2, 1)
     val n1 = spark.read.parquet(s"$out/docs_kept").count()
+    n1 shouldBe 1L
     // foreachBatch retry delivers the SAME batch id again
     StreamingPipeline.processNeardupBatch(b, 0L, out, 2, 1)
     spark.read.parquet(s"$out/docs_kept").count() shouldBe n1
