@@ -33,6 +33,14 @@ object Bench {
     SparkEntry.queries("ann_topk_bruteforce")(spark, sfDir).count()
     SparkEntry.queries("tx_tokens")(spark, sfDir).count()
 
+    // Host-drift yardstick (round-3 advice): a fixed pure-CPU burn timed
+    // inside every bench run, so cross-round comparisons can be
+    // host-speed-adjusted per run instead of argued per round. Runs first
+    // (after warmup) so query scheduling noise never contaminates it.
+    val burnT0 = System.nanoTime()
+    BenchOne.burn(spark)
+    val burnSec = (System.nanoTime() - burnT0) / 1e9
+
     // A failed query must never masquerade as a fast timing: record a
     // success flag per query and surface the failed names in the output.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -59,11 +67,14 @@ object Bench {
       graft.model.PipelineConfig(shufflePartitions = cpus.toInt), "bench")
     val pipeSec = (System.nanoTime() - t0) / 1e9
 
+    // host_burn is a pseudo-entry: the control burn's seconds, excluded
+    // from the total (it measures the HOST, not the engine).
     val all = results :+ (("pipeline_e2e", pipeSec, true))
+    val allWithBurn = all :+ (("host_burn", burnSec, true))
     // A failed query's wall time is time-to-exception, not a measurement:
     // report it as -1 and EXCLUDE it from the total, so a regression to
     // failure can never read as a speedup (round-2 advice).
-    val qs = all.map { case (k, v, ok) =>
+    val qs = allWithBurn.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
     val failed = all.collect { case (k, _, false) => "\"" + k + "\"" }

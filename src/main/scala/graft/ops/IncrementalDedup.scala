@@ -41,7 +41,11 @@ object IncrementalDedup {
       .drop("__ws")
 
   /** Exploded banded MinHash signatures (idCol, band_idx, band_hash) of a
-    * doc batch — the store's row format.
+    * doc batch — the store's row format. Token-less docs carry no rows:
+    * the guard filters the GENERATED band_hash against the empty-signature
+    * constant (a `size(toksCol) > 0` pre-filter would be pushdown-
+    * substituted with the whole shingle expression tree and re-evaluate it
+    * per row — the round-3 dd_minhash_lsh 5× regression).
     */
   def signatures(
       docs: DataFrame,
@@ -50,10 +54,11 @@ object IncrementalDedup {
       bands: Int,
       rows: Int
   ): DataFrame =
-    docs.filter(size(col(toksCol)) > 0)
+    docs
       .select(col(idCol) +: MinHash.signature(toksCol, bands * rows): _*)
       .select(col(idCol),
         posexplode(MinHash.bandArray(bands, rows)).as(Seq("band_idx", "band_hash")))
+      .filter(col("band_hash") =!= lit(MinHash.emptyBandHash))
 
   /** Ids of new-batch docs that collide with the store on ANY band.
     * `newSigs` and `store` are both in `signatures` row format.

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
+  /** Band hash of a doc with NO tokens: every mh minimum is NULL (array_min
+    * of an empty array), concat_ws drops nulls, so every band hashes to
+    * md5("") — this exact constant, for any (bands, rows). A real doc can
+    * never produce it (its minima are 32-char md5 hex digests, never
+    * empty), so `band_hash != emptyBandHash` is an exact token-less-doc
+    * guard that costs one string compare on an already-computed column.
+    */
+  val emptyBandHash: String = "d41d8cd98f00b204e9800998ecf8427e"
+
   /** Per-row signature columns mh1..mhN over token-array column `toksCol`. */
   def signature(toksCol: String, numPerms: Int): Seq[Column] =
     (1 to numPerms).map { k =>
@@ -47,15 +56,22 @@ object MinHash {
     // would share band_hash md5('') and all short docs would become mutual
     // candidates — an O(n_short²) pair blowup, and a divergence from the
     // null-equality-join oracle which produces no pairs (round-2 advice).
-    // A doc with no tokens has no MinHash signature: exclude it up front.
+    // The guard is a filter on the GENERATED band_hash (see emptyBandHash),
+    // NOT a `size(toksCol) > 0` pre-filter: a predicate over the lazy toks
+    // column gets pushdown-substituted with the whole shingle-building
+    // expression tree and re-evaluates it per row (round 3 shipped that
+    // form — measured 5× slower on dd_minhash_lsh in the round-4 same-host
+    // A/B); a predicate on posexplode's output can never be pushed below
+    // the Generate node, so the tree is evaluated exactly once.
     // Persist the exploded signature: a self-join otherwise pushes
     // IsNotNull(band_hash) into both scan sides and re-evaluates the whole
     // md5-over-shingles tree interpreted, once per side (measured 10× in
     // round 1). The cache is released as soon as the (small) pair set is
     // materialized via localCheckpoint.
-    val sig = docs.filter(size(col(toksCol)) > 0)
+    val sig = docs
       .select(col(idCol) +: signature(toksCol, bands * rows): _*)
       .select(col(idCol), posexplode(bandArray(bands, rows)).as(Seq("band_idx", "band_hash")))
+      .filter(col("band_hash") =!= lit(emptyBandHash))
       .persist()
     val a = sig.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val b = sig.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
