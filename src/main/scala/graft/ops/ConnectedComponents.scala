@@ -39,12 +39,18 @@ object ConnectedComponents {
     * Returns (id, label) for every id that appears in a pair, where `label`
     * is the minimum id of its connected component. Ids absent from `pairs`
     * are singletons — callers left-join and coalesce(label, id).
+    *
+    * `reliable = true` switches per-round materialization from
+    * localCheckpoint to a reliable checkpoint (see [[Materialize]]) so a
+    * multi-hour run survives executor loss; requires
+    * `sparkContext.setCheckpointDir`.
     */
   def resolve(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int = 64
+      maxIters: Int = 64,
+      reliable: Boolean = false
   ): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -53,13 +59,33 @@ object ConnectedComponents {
     // Init folds propagation round 1 in: label(v) = min({v} ∪ N(v)) comes
     // straight off the edge list with one groupBy — one fewer loop round
     // (each round is a fixed per-round scheduling cost at small scale).
-    var labels = edges.groupBy("src")
-      .agg(least(col("src"), min(col("dst"))).as("label"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint()
+    var labels = Materialize.stable(
+      edges.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .withColumnRenamed("src", "id"),
+      reliable)
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    // One propagate + pointer-doubling round, composed LAZILY (no action).
+    // Pointer doubling: label(v) ← label(label(v)). Every label value is
+    // itself a vertex id present in `propagated` (labels are mins over
+    // vertex ids), so the table indexes its own second hop; the left join
+    // + coalesce is only null-insurance. Labels only decrease, so the
+    // hop can never regress.
+    def round(cur: DataFrame): DataFrame = {
+      val propagated = edges
+        .join(cur.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(cur)
+        .groupBy("id").agg(min("label").as("label"))
+      val hop = propagated
+        .select(col("id").as("__l"), col("label").as("label2"))
+      propagated
+        .join(hop, propagated("label") === hop("__l"), "left")
+        .select(propagated("id"), coalesce(col("label2"), col("label")).as("label"))
+    }
 
     // null sum ⇔ no vertices (empty pair set) — done before any iteration;
     // this doubles as the emptiness check so no separate isEmpty job runs.
@@ -68,27 +94,18 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val propagated = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("label"))
-        .unionByName(labels)
-        .groupBy("id").agg(min("label").as("label"))
-      // Pointer doubling: label(v) ← label(label(v)). Every label value is
-      // itself a vertex id present in `propagated` (labels are mins over
-      // vertex ids), so the table indexes its own second hop; the left join
-      // + coalesce is only null-insurance. Labels only decrease, so the
-      // hop can never regress.
-      val hop = propagated
-        .select(col("id").as("__l"), col("label").as("label2"))
-      val next = propagated
-        .join(hop, propagated("label") === hop("__l"), "left")
-        .select(propagated("id"), coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint()
+      // TWO rounds per materialization + convergence probe (round-3 verdict
+      // item #6): at small scale each probe costs fixed driver/scheduling
+      // overhead comparable to the round itself, and labels are monotone
+      // non-increasing, so an unchanged sum across a fused double-round
+      // still proves the fixpoint exactly. Worst case one extra no-op round
+      // of joins; halves the materializations + driver aggregates.
+      val next = Materialize.stable(round(round(labels)), reliable)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
-      it += 1
+      it += 2
     }
     edges.unpersist() // before the require: a throw must not leak the cache
     require(converged, s"connected components did not converge in $maxIters rounds")

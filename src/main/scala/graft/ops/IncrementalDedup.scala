@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: the store grows O(corpus × bands) narrow rows; the per-batch
   * work is O(batch) signature computation + a semi-join where ONLY
   * (band_idx, band_hash) and ids cross the shuffle — document text never
-  * moves, and the store side can be bucketed by band_hash so daily runs
-  * co-locate for free. Token-less docs carry no signature (null-minima
-  * guard, see MinHash) and are therefore always kept.
+  * moves, and the store side IS bucketed by (band_idx, band_hash) (see
+  * `signatureStore`/`appendSignatures` below), so daily runs read history
+  * co-located and exchange-free. Token-less docs carry no signature
+  * (null-minima guard, see MinHash) and are therefore always kept.
   */
 object IncrementalDedup {
 
@@ -72,7 +73,9 @@ object IncrementalDedup {
     * (kept docs, dropped docs, kept docs' signatures ready to append to the
     * store). Within-batch near-dups are NOT resolved here — run the batch
     * through `MinHash.candidatePairs` + `ConnectedComponents` first if the
-    * source can contain same-day duplicates.
+    * source can contain same-day duplicates. `reliable` switches the
+    * intermediate materializations to reliable checkpoints
+    * (see [[Materialize]]).
     */
   def dedupBatch(
       newDocs: DataFrame,
@@ -80,19 +83,68 @@ object IncrementalDedup {
       idCol: String,
       toksCol: String,
       bands: Int,
-      rows: Int
+      rows: Int,
+      reliable: Boolean = false
   ): (DataFrame, DataFrame, DataFrame) = {
     // Cache lifecycle: signatures are persisted only while the (narrow,
     // eager) dup-id and kept-signature sets are materialized via
-    // localCheckpoint, then released — the returned lazy frames reference
-    // the checkpointed results, never the signature expression tree (which
-    // a join would otherwise re-evaluate interpreted, once per side).
+    // Materialize.stable, then released — the returned lazy frames
+    // reference the materialized results, never the signature expression
+    // tree (which a join would otherwise re-evaluate interpreted, once per
+    // side).
     val sigs = signatures(newDocs, idCol, toksCol, bands, rows).persist()
-    val dups = duplicateIds(sigs, store, idCol).localCheckpoint()
-    val keptSigs = sigs.join(dups, Seq(idCol), "left_anti").localCheckpoint()
+    val dups = Materialize.stable(duplicateIds(sigs, store, idCol), reliable)
+    val keptSigs = Materialize.stable(
+      sigs.join(dups, Seq(idCol), "left_anti"), reliable)
     sigs.unpersist()
     val kept = newDocs.join(dups, Seq(idCol), "left_anti")
     val dropped = newDocs.join(dups, Seq(idCol), "left_semi")
     (kept, dropped, keptSigs)
+  }
+
+  // ------------------------------------------------------------------
+  // Bucketed signature store (round-3 verdict item #2). The store is the
+  // BIG side of every daily semi-join — O(corpus × bands) rows vs a
+  // batch's O(batch × bands) — so it is written bucketed by the join key
+  // (band_idx, band_hash): each run's append pre-hashes its files into
+  // the same bucket layout, and every later run's `duplicateIds`
+  // semi-join reads the store side with NO exchange. Spark keeps bucket
+  // metadata in the session catalog, so the store must be read through
+  // `signatureStore` (which re-registers the external table idempotently)
+  // — a plain parquet read of the same files would silently drop the
+  // bucketing and re-shuffle the whole store every day.
+  // ------------------------------------------------------------------
+
+  /** Store schema: `signatures` row format + the writing batch's id. */
+  val StoreSchemaDdl: String =
+    "doc_id BIGINT, band_idx INT, band_hash STRING, batch_id BIGINT"
+  val StoreBucketCols: Seq[String] = Seq("band_idx", "band_hash")
+  val StoreTable: String = "signatures"
+
+  /** The persisted band-signature store as a bucketed table (registered
+    * on first use; empty until the first append).
+    */
+  def signatureStore(
+      catalog: graft.sink.TranscriptCatalog,
+      nBuckets: Int = 16
+  ): DataFrame = {
+    catalog.ensureBucketed(StoreTable, StoreSchemaDdl, StoreBucketCols, nBuckets)
+    catalog.readBucketed(StoreTable)
+  }
+
+  /** Append a batch's kept signatures (tagged with `batchId`) to the
+    * bucketed store.
+    */
+  def appendSignatures(
+      catalog: graft.sink.TranscriptCatalog,
+      keptSigs: DataFrame,
+      batchId: Long,
+      nBuckets: Int = 16
+  ): Unit = {
+    catalog.ensureBucketed(StoreTable, StoreSchemaDdl, StoreBucketCols, nBuckets)
+    catalog.appendBucketed(
+      keptSigs.withColumn("batch_id", lit(batchId))
+        .select("doc_id", "band_idx", "band_hash", "batch_id"),
+      StoreTable, StoreBucketCols, nBuckets)
   }
 }

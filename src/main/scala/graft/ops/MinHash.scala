@@ -42,14 +42,16 @@ object MinHash {
   /** Candidate near-dup pairs (id_a < id_b) of `docs(idCol, toksCol)` under
     * (bands × rows) MinHash banding. The band self-join carries ONLY
     * (id, band_idx, band_hash) — token payloads never cross the shuffle;
-    * callers re-join toks by id for verification.
+    * callers re-join toks by id for verification. `maxBucket` is the
+    * hot-bucket guard (see [[Banding]]): default off.
     */
   def candidatePairs(
       docs: DataFrame,
       idCol: String,
       toksCol: String,
       bands: Int,
-      rows: Int
+      rows: Int,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     // Docs with NO tokens (e.g. <3-word shingle sets) have a NULL signature
     // minimum; concat_ws silently DROPS null components, so every such doc
@@ -73,12 +75,7 @@ object MinHash {
       .select(col(idCol), posexplode(bandArray(bands, rows)).as(Seq("band_idx", "band_hash")))
       .filter(col("band_hash") =!= lit(emptyBandHash))
       .persist()
-    val a = sig.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
-    val b = sig.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val pairs = Banding.candidatePairs(sig, idCol, "band_hash", maxBucket)
       .localCheckpoint()
     sig.unpersist()
     pairs

@@ -64,4 +64,84 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
+
+  /** Existing `partitionCol=value` values of `table` — pure FS metadata
+    * listing, no data scan (the read side of `dropPartitions`' walk).
+    */
+  def listPartitionValues(table: String, partitionCol: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(path(table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Nil
+    val prefix = partitionCol + "="
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        if (st.getPath.getName.startsWith(prefix))
+          Seq(st.getPath.getName.stripPrefix(prefix))
+        else walk(st.getPath)
+      }
+    walk(base)
+  }
+
+  // ------------------------------------------------------------------
+  // Bucketed tables. Spark persists bucketing metadata in the SESSION
+  // catalog (not in the parquet files), so a bucketed table written by a
+  // previous run/session must be RE-REGISTERED before its bucketing is
+  // usable — `ensureBucketed` issues the external-table DDL idempotently,
+  // pointing at this catalog's directory. The bucket ids themselves live
+  // in the file names Spark wrote, so re-registration is metadata-only.
+  // ------------------------------------------------------------------
+
+  /** Session-catalog table name for `table` — unique per catalog ROOT so
+    * two catalogs in one session (e.g. two test fixtures) never collide.
+    */
+  def bucketedName(table: String): String =
+    "graft_" + java.lang.Long.toHexString(
+      root.foldLeft(1125899906842597L)((h, c) => 31 * h + c).abs) + "_" + table
+
+  /** Register `table` as an external bucketed parquet table (idempotent).
+    * `schemaDdl` is the column list (bucketing DDL cannot infer schema);
+    * bucket+sort columns and count must match every writer.
+    */
+  def ensureBucketed(
+      table: String,
+      schemaDdl: String,
+      bucketCols: Seq[String],
+      nBuckets: Int
+  ): String = {
+    val name = bucketedName(table)
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl) USING parquet
+           |CLUSTERED BY (${bucketCols.mkString(", ")})
+           |SORTED BY (${bucketCols.mkString(", ")})
+           |INTO $nBuckets BUCKETS
+           |LOCATION '${path(table)}'""".stripMargin)
+    }
+    name
+  }
+
+  /** Append to a bucketed table registered via `ensureBucketed`. Each
+    * append writes files pre-hashed into the same `nBuckets` layout, so
+    * every future join/aggregate on the bucket columns reads the store
+    * side shuffle-free — the point of the store being bucketed.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int
+  ): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(bucketedName(table))
+
+  /** Read a bucketed table THROUGH the session catalog (a plain
+    * `spark.read.parquet` of the same files would silently drop the
+    * bucketing and re-shuffle in every join).
+    */
+  def readBucketed(table: String): DataFrame = spark.table(bucketedName(table))
 }

@@ -128,28 +128,38 @@ object StreamingPipeline {
 
   /** Streaming incremental near-duplicate dedup — the corpus-ingest twin
     * of `graft.ops.IncrementalDedup`. Per micro-batch: (1) replay guard —
-    * a batch_id already present in the store means a foreachBatch retry,
-    * skip it (the reference's committed-batch idempotency,
+    * a batch_id already committed means a foreachBatch retry, skip it
+    * (the reference's committed-batch idempotency,
     * log_batch_store.go:42-59); (2) drop docs that near-duplicate any
-    * previously KEPT doc via the catalog-persisted band-signature store;
-    * (3) resolve within-batch near-dups greedily (a doc is dropped iff it
-    * candidates with a smaller-id doc of its own batch — deterministic,
-    * one ids-only band self-join); (4) append survivors to `docs_kept` and
-    * their signatures (+batch_id) to `signatures`.
+    * previously KEPT doc via the catalog-persisted BUCKETED band-signature
+    * store (store side of the semi-join reads exchange-free, see
+    * `IncrementalDedup.signatureStore`); (3) resolve within-batch
+    * near-dups TRANSITIVELY — the batch's candidate pairs run through
+    * connected components and only each cluster's min-id representative is
+    * kept, the exact `dd_cluster_resolve` contract (the pre-round-4 greedy
+    * drop under-kept chains: for pairs {1,5},{2,5} it kept both 1 and 2);
+    * (4) append survivors to `docs_kept`, their signatures to the store,
+    * then the batch's COMMIT MARKER.
     *
     * The cross-batch "state" is deliberately a TABLE, not a streaming
     * state store: a corpus signature store grows O(corpus × bands) and
     * outlives any executor state backend, while the per-batch cost stays
     * one ids-only semi-join against it.
     *
-    * Crash semantics: `docs_kept` is appended BEFORE `signatures`, and the
-    * replay guard reads `signatures` — so a crash between the two appends
-    * replays the batch, which can duplicate `docs_kept` rows (doc_id is
-    * unique, so readers dedupe trivially) but never the signature STATE
-    * that decides future dedup. The reverse order would instead silently
-    * LOSE kept docs on replay — at-least-once on the output, exactly-once
-    * on the state, is the right side of that tradeoff (same reasoning as
-    * the batch pipeline's lineage-before-manifest ordering).
+    * Replay guard cost (round-3 advice): committed batch ids are partition
+    * DIRECTORIES of the tiny `batches` marker table, so the guard is one
+    * filesystem metadata listing — never a scan of the O(corpus × bands)
+    * store.
+    *
+    * Crash semantics: appends run docs_kept → signatures → marker, and the
+    * marker is the commit point. A crash before the marker replays the
+    * batch: a replay after the docs_kept append re-appends docs_kept
+    * (duplicate rows; doc_id is unique so readers dedupe trivially); a
+    * replay after the signatures append finds the batch's own signatures
+    * in the store, drops everything, and appends nothing new. Either way
+    * the signature STATE that decides future dedup converges — at-least-
+    * once on the output, exactly-once on the state (same reasoning as the
+    * batch pipeline's lineage-before-manifest ordering).
     */
   def neardupSink(
       docs: DataFrame, // streaming (doc_id: long, text: string)
@@ -173,44 +183,37 @@ object StreamingPipeline {
       batchId: Long,
       catalogRoot: String,
       bands: Int,
-      rows: Int
+      rows: Int,
+      storeBuckets: Int = 16
   ): Unit = {
-    import graft.ops.{IncrementalDedup, MinHash}
+    import graft.ops.{ConnectedComponents, IncrementalDedup, MinHash}
     import graft.sink.TranscriptCatalog
-    val catalog = new TranscriptCatalog(catalogRoot, batch.sparkSession)
+    val spark = batch.sparkSession
+    val catalog = new TranscriptCatalog(catalogRoot, spark)
+    if (catalog.listPartitionValues("batches", "batch_id")
+          .contains(batchId.toString)) return
     // shingles is column-preserving, so text rides along for the kept sink
     val tok = IncrementalDedup.shingles(batch, "text")
-    val emptyStore = IncrementalDedup
-      .signatures(tok.limit(0), "doc_id", "toks", bands, rows)
-      .withColumn("batch_id", lit(-1L))
-    val store =
-      if (catalog.exists("signatures")) catalog.read("signatures")
-      else emptyStore
-    val replayed = catalog.exists("signatures") &&
-      store.filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!replayed) {
-      val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
-        tok, store, "doc_id", "toks", bands, rows)
-      val dropWithin = MinHash
-        .candidatePairs(kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows)
-        .select(col("id_b").as("doc_id")).distinct()
-      val kept = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
-      val keptSigs = keptSigs0.join(dropWithin, Seq("doc_id"), "left_anti")
-      catalog.append(
-        kept.select(col("doc_id"), col("text"), lit(batchId).as("batch_id")),
-        "docs_kept")
-      // Always append a per-batch MARKER row alongside the real signatures:
-      // a batch whose kept docs are all token-less writes zero signature
-      // rows, and without the marker its batch_id would never register, so
-      // every retry would re-append its docs_kept rows (round-3 review).
-      // band_idx = -1 / null hash can never equi-match a real signature.
-      val marker = batch.sparkSession.range(1)
-        .select(lit(-1L).as("doc_id"), lit(-1).as("band_idx"),
-          lit(null).cast("string").as("band_hash"), lit(batchId).as("batch_id"))
-      catalog.append(
-        keptSigs.withColumn("batch_id", lit(batchId)).unionByName(marker),
-        "signatures")
-    }
+    val store = IncrementalDedup.signatureStore(catalog, storeBuckets)
+    val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
+      tok, store, "doc_id", "toks", bands, rows)
+    val pairs = MinHash.candidatePairs(
+      kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows)
+    val dropWithin = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val kept = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
+    val keptSigs = keptSigs0.join(dropWithin, Seq("doc_id"), "left_anti")
+    catalog.append(
+      kept.select(col("doc_id"), col("text"), lit(batchId).as("batch_id")),
+      "docs_kept")
+    IncrementalDedup.appendSignatures(catalog, keptSigs, batchId, storeBuckets)
+    // COMMIT POINT — the marker registers the batch id as a partition
+    // directory (one row of payload; a partition column cannot be the only
+    // column in a parquet write).
+    catalog.append(
+      spark.range(1).select(lit(batchId).as("batch_id"), lit(1).as("one")),
+      "batches", Seq("batch_id"))
   }
 
   /** Write the routed stream to per-route parquet sinks (K1/K2 analog):

@@ -45,6 +45,23 @@ class ClusterSpec extends SparkSpecBase {
     resolve(Seq((5L, 2L), (9L, 5L))) shouldBe Map(2L -> 2L, 5L -> 2L, 9L -> 2L)
   }
 
+  test("reliable checkpoint mode resolves identically (round-3 verdict #3)") {
+    // reliable = true swaps localCheckpoint (executor-local, lost on
+    // executor failure) for a reliable checkpoint to the context's
+    // checkpoint dir — the survivable mode for multi-hour iterative jobs.
+    val dir = tmpDir("cc-reliable-ckpt")
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = ((1L to 50L).map(i => (i, i + 1)) ++ Seq((80L, 90L))).toDF("id_a", "id_b")
+    val labels = ConnectedComponents
+      .resolve(pairs, "id_a", "id_b", reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe ((1L to 51L).map(_ -> 1L) ++ Seq(80L -> 80L, 90L -> 80L)).toMap
+    // the checkpoint dir actually received RDD checkpoint data
+    val wrote = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .findFirst().isPresent
+    wrote shouldBe true
+  }
+
   test("random graphs match a union-find reference (property check, fixed seeds)") {
     // Deterministic pseudo-random graphs vs a driver-side union-find: the
     // distributed min-label + pointer-doubling must agree with the

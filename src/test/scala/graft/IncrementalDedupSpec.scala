@@ -60,6 +60,49 @@ class IncrementalDedupSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 12L)
   }
 
+  test("bucketed signature store: the store side of the semi-join never re-shuffles") {
+    // Round-3 verdict item #2: the store is the BIG side of every daily
+    // semi-join, so it must be written bucketed by the join key and read
+    // back through the session catalog — then a later run's duplicateIds
+    // exchanges ONLY its own (small) batch side.
+    val out = tmpDir("inc-bucketed")
+    val catalog = new TranscriptCatalog(out, spark)
+    val day1 = toks(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a completely different document about spark physical plans",
+      3L -> "entirely novel content regarding duckdb oracle checks"))
+    IncrementalDedup.appendSignatures(catalog,
+      IncrementalDedup.signatures(day1, "doc_id", "toks", Bands, Rows), 0L,
+      nBuckets = 4)
+    // Simulate a NEW session/run: drop the session-catalog registration,
+    // then re-register over the existing files (signatureStore does this).
+    spark.sql(s"DROP TABLE ${catalog.bucketedName(IncrementalDedup.StoreTable)}")
+    val store = IncrementalDedup.signatureStore(catalog, nBuckets = 4)
+    store.select("doc_id").distinct().count() shouldBe 3L
+
+    val day2 = toks(Seq(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      12L -> "fresh words that collide with nothing at all today"))
+    val newSigs = IncrementalDedup.signatures(day2, "doc_id", "toks", Bands, Rows)
+    // Force the SMJ shape (at 100 TB the batch side is not broadcastable).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dups = IncrementalDedup.duplicateIds(newSigs, store, "doc_id")
+      dups.collect().map(_.getLong(0)) shouldBe Array(10L)
+      // AQE's plan string carries Final + Initial sections; gate the FINAL.
+      val plan = dups.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // exactly one (band_idx, band_hash) exchange — the new-batch side;
+      // the bucketed store scan provides its own hash partitioning (a
+      // second one would mean the store re-shuffled). The only other
+      // exchange is the id-distinct above the join.
+      "Exchange hashpartitioning\\(band_idx".r.findAllIn(plan).size shouldBe 1
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size shouldBe 1
+      plan should include("Bucketed: true")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_incremental_neardup matches the within-corpus pair set at the split point") {
     // Every batch doc flagged is_dup must share a band with SOME history doc
     // — cross-check against dd_minhash_lsh's pair set restricted to

@@ -126,19 +126,23 @@ class StreamingSpec extends SparkSpecBase {
     val kept = spark.read.parquet(s"$out/docs_kept")
     kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
       Array(1L, 2L, 12L, 13L)
-    // the signature store holds kept docs only (doc_id -1 = the per-batch
-    // replay marker), tagged by batch
+    // the signature store holds kept docs only, tagged by batch
     val sigs = spark.read.parquet(s"$out/signatures")
     sigs.select("doc_id").distinct().collect().map(_.getLong(0)).sorted shouldBe
-      Array(-1L, 1L, 2L, 12L) // token-less doc 13 carries no signature
+      Array(1L, 2L, 12L) // token-less doc 13 carries no signature
     sigs.select("batch_id").distinct().count() shouldBe 2L
+    // both batches committed their marker partition
+    new graft.sink.TranscriptCatalog(out, spark)
+      .listPartitionValues("batches", "batch_id").sorted shouldBe Seq("0", "1")
   }
 
   test("near-dup sink replay guard: reprocessing a committed batch_id is a no-op") {
     val out = tmpDir("stream-neardup-replay")
     // The hard case: a batch whose ONLY kept doc is token-less writes zero
-    // real signature rows — the per-batch marker must still register the
-    // batch_id, or every retry would re-append docs_kept (round-3 review).
+    // signature rows — the `batches` commit marker must still register the
+    // batch_id, or every retry would re-append docs_kept (round-3 review;
+    // since round 4 the marker is a partition directory of its own tiny
+    // table, so the guard is an FS metadata probe, never a store scan).
     val b = Seq(1L -> "too short").toDF("doc_id", "text")
     StreamingPipeline.processNeardupBatch(b, 0L, out, 2, 1)
     val n1 = spark.read.parquet(s"$out/docs_kept").count()
@@ -146,8 +150,25 @@ class StreamingSpec extends SparkSpecBase {
     // foreachBatch retry delivers the SAME batch id again
     StreamingPipeline.processNeardupBatch(b, 0L, out, 2, 1)
     spark.read.parquet(s"$out/docs_kept").count() shouldBe n1
-    spark.read.parquet(s"$out/signatures")
-      .select("batch_id").distinct().count() shouldBe 1L
+    new graft.sink.TranscriptCatalog(out, spark)
+      .listPartitionValues("batches", "batch_id") shouldBe Seq("0")
+  }
+
+  test("within-batch near-dups resolve transitively, not greedily") {
+    val out = tmpDir("stream-neardup-chain")
+    // Crafted so the MinHash (2 bands × 1 row) pair set is EXACTLY
+    // {1,5} (band 1) and {2,5} (band 2) — never {1,2}: docs 1, 2, 5 form
+    // one transitive cluster with representative 1. The pre-round-4
+    // greedy rule (drop any id_b) dropped only 5 and kept BOTH 1 and 2;
+    // connected-components resolution must keep 1 alone.
+    val b = Seq(
+      1L -> "foxtrot charlie golf",
+      2L -> "kilo alpha bravo",
+      5L -> "foxtrot charlie golf india bravo foxtrot kilo alpha bravo"
+    ).toDF("doc_id", "text")
+    StreamingPipeline.processNeardupBatch(b, 0L, out, 2, 1)
+    spark.read.parquet(s"$out/docs_kept")
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L)
   }
 
   test("streaming windowed counts equal the batch rollup on identical data") {
