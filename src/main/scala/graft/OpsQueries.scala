@@ -191,11 +191,10 @@ object OpsQueries {
         posexplode(array((0 until 4).map { j =>
           shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
         }: _*)).as(Seq("band_idx", "band_val")))
-      val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
-      val cand = a.join(b, Seq("band_idx", "band_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      // Shared band self-join (graft.ops.Banding) — carries the hot-bucket
+      // cap knob; off here to keep the exact oracle semantics.
+      val cand = graft.ops.Banding.candidatePairs(banded, "doc_id")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       cand
         .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), Seq("doc_a"))
         .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), Seq("doc_b"))
@@ -240,12 +239,8 @@ object OpsQueries {
         posexplode(Lsh.bands(col("v"), NeardupBands, NeardupRBits))
           .as(Seq("band_idx", "band_val")))
         .persist()
-      val a = banded.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_val"))
-      val b = banded.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_val"))
-      val cand = a.join(b, Seq("band_idx", "band_val"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+      val cand = graft.ops.Banding.candidatePairs(banded, "vec_id")
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       val res = cand
         .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
         .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
@@ -287,6 +282,18 @@ object OpsQueries {
     "ann_ivf_topk" -> ((s: SparkSession, dir: String) => {
       val e = Similarity.prepare(emb(s, dir))
       Similarity.ivfTopK(s, e, queryId = 0, k = 10, nCells = 16, nprobe = 8)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // --- ANN3b: IVF at nprobe = nCells — every cell probed, so the result
+    //     is EXACTLY brute force while the plan is the production IVF shape
+    //     (DataFrame centroids, broadcast probe list, no vector-side
+    //     exchange). This is the equivalence SimilaritySpec proves,
+    //     promoted to a DuckDB-oracled catalog row (round-3 verdict #5):
+    //     the oracle is the brute-force SQL verbatim. ---
+    "ann_ivf_exhaustive" -> ((s: SparkSession, dir: String) => {
+      val e = Similarity.prepare(emb(s, dir))
+      Similarity.ivfTopKBroadcast(e, queryId = 0, k = 10, nCells = 16, nprobe = 16)
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
@@ -417,6 +424,36 @@ object OpsQueries {
         regexp_count(col("text"), lit(numRe)).as("n_nums"))
     }),
 
+    // --- TX5b: broadened PII scrubbing — phones and card-shaped spans on
+    //     top of emails and number runs (round-3 verdict #8). The synthetic
+    //     corpus carries no real PII, so each doc is first salted with a
+    //     DETERMINISTIC doc_id-derived email + phone + card span (mirrored
+    //     verbatim in the oracle); the redaction pass then has non-trivial
+    //     work to count and strip. Order matters: email → card → phone →
+    //     generic digit runs, so the generic rule never eats a structured
+    //     span first. ---
+    "tx_scrub2" -> ((s: SparkSession, dir: String) => {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+      val ccRe = "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}"
+      val numRe = "[0-9]+"
+      val id4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+      val pii = concat(col("text"),
+        lit(" user"), col("doc_id").cast("string"), lit("@mail.example.org"),
+        lit(" +1-555-"), id4,
+        lit(" 4111 1111 1111 "), id4)
+      val noEmail = regexp_replace(pii, emailRe, "<EMAIL>")
+      val noCc = regexp_replace(noEmail, ccRe, "<CC>")
+      val noPhone = regexp_replace(noCc, phoneRe, "<PHONE>")
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(regexp_replace(noPhone, numRe, "<NUM>")).as("scrub_hash"),
+        regexp_count(pii, lit(emailRe)).as("n_emails"),
+        regexp_count(noEmail, lit(ccRe)).as("n_ccs"),
+        regexp_count(noCc, lit(phoneRe)).as("n_phones"),
+        regexp_count(noPhone, lit(numRe)).as("n_nums"))
+    }),
+
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
     "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
       docs(s, dir).select(
@@ -469,6 +506,17 @@ object OpsQueries {
       s"SELECT vec_id, $j AS band_idx, " +
         s"${Lsh.bandSqlDuck("v", NeardupBands, NeardupRBits, j)} AS band_val FROM e"
     }.mkString(" UNION ALL ")
+    // Exact cosine top-10 against vec 0 — the oracle for BOTH the
+    // brute-force query and the exhaustive-probe IVF (nprobe = nCells
+    // probes every cell, so the IVF result is brute force by construction).
+    val bruteTopkSql =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin.replace("\n", " ")
     Map(
       "dd_exact_dup" ->
         "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc FROM documents GROUP BY 1",
@@ -542,14 +590,8 @@ object OpsQueries {
            |  round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
            |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin.replace("\n", " "),
-      "ann_topk_bruteforce" ->
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-          |SELECT e.vec_id,
-          |  round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
-          |FROM e, q WHERE e.vec_id <> 0
-          |ORDER BY list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id ASC
-          |LIMIT 10""".stripMargin.replace("\n", " "),
+      "ann_topk_bruteforce" -> bruteTopkSql,
+      "ann_ivf_exhaustive" -> bruteTopkSql,
       "ann_lsh_buckets" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
            |SELECT vec_id, ${Lsh.bucketSqlDuck("v", LshBits)} AS bucket FROM e""".stripMargin.replace("\n", " "),
@@ -617,6 +659,20 @@ object OpsQueries {
           |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
           |  len(regexp_extract_all(text, '[0-9]+')) AS n_nums
           |FROM documents""".stripMargin.replace("\n", " "),
+      "tx_scrub2" ->
+        """WITH p AS (SELECT doc_id,
+          |  text || ' user' || doc_id || '@mail.example.org +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' 4111 1111 1111 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS pii
+          |  FROM documents),
+          |s AS (SELECT doc_id, pii, regexp_replace(pii, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS no_email FROM p),
+          |c AS (SELECT *, regexp_replace(no_email, '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}', '<CC>', 'g') AS no_cc FROM s),
+          |f AS (SELECT *, regexp_replace(no_cc, '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS no_phone FROM c)
+          |SELECT doc_id,
+          |  md5(regexp_replace(no_phone, '[0-9]+', '<NUM>', 'g')) AS scrub_hash,
+          |  len(regexp_extract_all(pii, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(no_email, '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}')) AS n_ccs,
+          |  len(regexp_extract_all(no_cc, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+          |  len(regexp_extract_all(no_phone, '[0-9]+')) AS n_nums
+          |FROM f""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
       "mm_frame_sample" ->

@@ -148,7 +148,18 @@ object PipelineJob {
     //     partitions SEPARATELY and GC spares exactly those (round-3
     //     self-review: the naive shared predicate wiped a committed run's
     //     quarantine history on the next run). ---
-    val quarCommitted = prior.map(_.quarantinePartitions.toSet).getOrElse(Set.empty)
+    // Upgrade path (round-3 advice): a manifest written before the
+    // quarantinePartitions field existed reads with quarantineKnown=false —
+    // adopt every existing quarantine partition above the watermark as
+    // committed (one FS listing), instead of sweeping history the old
+    // manifest never recorded.
+    val quarCommitted = prior match {
+      case Some(p) if !p.quarantineKnown =>
+        catalog.listPartitionValues("quarantine", "window_key")
+          .filter(_ > watermark).toSet
+      case Some(p) => p.quarantinePartitions.toSet
+      case None => Set.empty[String]
+    }
     val gcCount = timer("partition_gc") {
       Seq("routed", "aggregates").map { t =>
         catalog.dropPartitions(t, "window_key",
@@ -217,15 +228,22 @@ object PipelineJob {
     // The reference's most-watched operational counter: rows dropped as
     // duplicates (its 409 already-processed analog, ingestion_service.go:79-83).
     val duplicatesDropped = rowsValid - rowsParsed
-    val quarWrittenNow: Seq[String] =
-      if (quarantined > 0) {
-        val q = quarantine.withColumn("window_key",
-          coalesce(col("window_key"), lit("invalid")))
-        catalog.overwritePartitions(q, "quarantine", Seq("window_key"))
-        // record the written partitions so GC can tell committed quarantine
-        // history from dead-run orphans (bounded: this run's windows + 1)
-        q.select("window_key").distinct().collect().map(_.getString(0)).toSeq
-      } else Nil
+    if (quarantined > 0) {
+      val q = quarantine.withColumn("window_key",
+        coalesce(col("window_key"), lit("invalid")))
+      catalog.overwritePartitions(q, "quarantine", Seq("window_key"))
+    }
+    // The committed-quarantine set for the manifest = every quarantine
+    // partition directory above the watermark that exists AFTER this run's
+    // GC + write: surviving prior-committed partitions plus whatever the
+    // write just created. One FS metadata listing — the previous
+    // `q.select(window_key).distinct().collect()` re-executed the
+    // quarantine frame's full lineage (a second pass over the raw input)
+    // just to learn names the filesystem already knows (round-3 advice).
+    // ("invalid", the null-ts partition, sorts above any timestamp key.)
+    val quarCommittedNow: Seq[String] =
+      catalog.listPartitionValues("quarantine", "window_key")
+        .filter(_ > watermark)
 
     // --- rollup: read back the routed table scoped to this run's windows
     //     (partition-pruned scan — the isin on the partition column prunes
@@ -298,7 +316,7 @@ object PipelineJob {
       Checkpoint.compact(
         Checkpoint.Manifest(runId, (priorParts ++ perWindow).sortBy(_.partition),
           metrics, watermark, prior.map(_.foldedRows).getOrElse(0L),
-          (quarCommitted ++ quarWrittenNow).toSeq),
+          quarCommittedNow),
         config.maxLineageWindows))
 
     Result(metrics, routeCounts, todo)

@@ -36,13 +36,22 @@ object Checkpoint {
     * the list stays bounded ("invalid" sorts above any timestamp key and
     * is the one permanent entry).
     */
+  /** `quarantineKnown`: false iff this manifest was READ from a file
+    * written before the quarantinePartitions field existed (pre-round-3).
+    * Distinguishing "absent" from "empty" matters: an upgrading resume run
+    * must treat existing quarantine partitions above the watermark as
+    * committed rather than GC-sweeping history it has no record of
+    * (round-3 advice). Always true for manifests this code writes; not
+    * serialized.
+    */
   final case class Manifest(
       runId: String,
       committedPartitions: Seq[PartitionLineage],
       metrics: Map[String, Long],
       watermark: String = "",
       foldedRows: Long = 0L,
-      quarantinePartitions: Seq[String] = Nil
+      quarantinePartitions: Seq[String] = Nil,
+      quarantineKnown: Boolean = true
   ) {
     def committedSet: Set[String] = committedPartitions.map(_.partition).toSet
   }
@@ -113,12 +122,16 @@ object Checkpoint {
     val metricRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
     val metrics = metricRe.findAllMatchIn(metricsBlock)
       .map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
-    // absent in pre-round-3 manifests -> Nil (forward-compatible read)
-    val quarBlock = """"quarantinePartitions":\[([^\]]*)\]""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    val quar = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(quarBlock)
+    // absent in pre-round-3 manifests: flag it (quarantineKnown=false) so
+    // the resume run can adopt existing quarantine partitions instead of
+    // GC-sweeping history the old manifest never recorded.
+    val quarMatch = """"quarantinePartitions":\[([^\]]*)\]""".r
+      .findFirstMatchIn(json)
+    val quar = """"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(quarMatch.map(_.group(1)).getOrElse(""))
       .map(m => unesc(m.group(1))).toSeq
-    Some(Manifest(unesc(runId), parts, metrics, unesc(watermark), foldedRows, quar))
+    Some(Manifest(unesc(runId), parts, metrics, unesc(watermark), foldedRows,
+      quar, quarantineKnown = quarMatch.isDefined))
   }
 
   private def unesc(s: String): String = {

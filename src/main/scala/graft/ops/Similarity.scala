@@ -186,8 +186,13 @@ object Similarity {
     * centroid; the result is localCheckpoint'ed (nCells rows) so downstream
     * query plans scan it instead of replaying the build.
     */
-  def buildIvfTable(e: DataFrame, nCells: Int, dim: Int = 64): DataFrame = {
+  def buildIvfTable(e: DataFrame, nCells: Int, dimOpt: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Derive the dimensionality from the data unless the caller knows it
+    // (round-3 advice: a hardcoded dim silently null-contaminates the
+    // Lloyd means for any other embedding width). One limit-1 probe job.
+    val dim = dimOpt.getOrElse(
+      e.select(size(col("v")).as("d")).head.getInt(0))
     // row_number over a global order is the low-cardinality-window
     // anti-pattern IN GENERAL; here it runs over the nCells-row limit
     // result, which is single-partition by construction.

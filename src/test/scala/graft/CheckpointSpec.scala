@@ -30,6 +30,22 @@ class CheckpointSpec extends AnyFunSuite with Matchers {
     m.committedSet shouldBe Set("20260101T0001Z")
   }
 
+  test("manifests without quarantinePartitions (pre-round-3) read as quarantineKnown=false") {
+    // "Absent field" and "empty list" must stay distinguishable: the
+    // upgrade path adopts existing quarantine partitions only when the
+    // manifest genuinely predates the field (round-3 advice).
+    val dir = Files.createTempDirectory("ckpt-noquar").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "manifest.json"),
+      """{"runId":"r1","watermark":"","foldedRows":0,"committedPartitions":[],"metrics":{}}""")
+    Checkpoint.read(dir).get.quarantineKnown shouldBe false
+
+    val dir2 = Files.createTempDirectory("ckpt-emptyquar").toString
+    Checkpoint.write(dir2, Manifest("r2", Nil, Map.empty))
+    val m2 = Checkpoint.read(dir2).get
+    m2.quarantineKnown shouldBe true
+    m2.quarantinePartitions shouldBe Nil
+  }
+
   test("compact folds oldest windows, keeps the newest, accumulates rows") {
     val m = Manifest("r", (1 to 10).map(i => pl(f"20260101T00$i%02dZ", i.toLong)),
       Map.empty, watermark = "", foldedRows = 0L)

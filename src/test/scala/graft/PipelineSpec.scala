@@ -231,6 +231,31 @@ class PipelineSpec extends SparkSpecBase {
       .filter(col("conv_id") === "conv-quar-gc").count() shouldBe 1L
   }
 
+  test("upgrading from a pre-round-3 manifest adopts existing quarantine history") {
+    val out = tmpDir("pipe-quar-upgrade")
+    val raw = TranscriptGen.generate(spark, 2000, 4)
+    val nullTs = raw.limit(1)
+      .withColumn("ts", lit(null).cast("timestamp"))
+      .withColumn("conv_id", lit("conv-upgrade"))
+    PipelineJob.run(spark, raw.unionByName(nullTs), out, PipelineConfig(), "u1")
+    val catalog = new TranscriptCatalog(out, spark)
+    catalog.read("quarantine").count() shouldBe 1L
+    // Simulate the manifest having been written by pre-round-3 code: strip
+    // the quarantinePartitions field entirely.
+    val mPath = java.nio.file.Paths.get(s"$out/_checkpoint/manifest.json")
+    val stripped = java.nio.file.Files.readString(mPath)
+      .replaceAll(""""quarantinePartitions":\[[^\]]*\],""", "")
+    java.nio.file.Files.writeString(mPath, stripped)
+    // The next run's GC must ADOPT (not sweep) the unrecorded-but-real
+    // quarantine partition, and re-record it in the new manifest.
+    val later = raw.withColumn("ts", col("ts") + expr("INTERVAL 60 MINUTES"))
+    PipelineJob.run(spark, later, out, PipelineConfig(), "u2")
+    catalog.read("quarantine")
+      .filter(col("conv_id") === "conv-upgrade").count() shouldBe 1L
+    graft.checkpoint.Checkpoint.read(s"$out/_checkpoint").get
+      .quarantinePartitions should contain("invalid")
+  }
+
   test("quarantined rows are excluded from aggregates and recorded with codes") {
     val out = tmpDir("pipe-quar")
     val raw = TranscriptGen.generate(spark, 5000, 4)
