@@ -454,6 +454,65 @@ object OpsQueries {
         regexp_count(noPhone, lit(numRe)).as("n_nums"))
     }),
 
+    // --- TX7: deterministic stratified sampling — the data-mixing pass of
+    //     a training-corpus pipeline: per-language sampling rates applied
+    //     via a content-stable hash bucket (md5 of the id), so the sample
+    //     is reproducible across runs/engines and needs NO global count,
+    //     window, or shuffle — a pure filter projection that scales
+    //     embarrassingly. ---
+    "tx_sample_strat" -> ((s: SparkSession, dir: String) => {
+      val bucket = expr(
+        "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 100)")
+      val rate = when(col("lang") === "en", lit(50)).otherwise(lit(20))
+      docs(s, dir).select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < rate)
+    }),
+
+    // --- EMB1: int8 scalar quantization of the embedding column — the
+    //     compression pass before an ANN index ships to serving: per-vector
+    //     symmetric scale (max|x| / 127), quantized checksum, and the
+    //     reconstruction error bound, all as codegen'd array folds. ---
+    "emb_quantize" -> ((s: SparkSession, dir: String) => {
+      emb(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        // greatest(…, 1e-12): an all-zero vector must quantize to zeros,
+        // not divide by zero. floor(x + 0.5), not round(): both engines
+        // agree on floor exactly; round() half-rules differ.
+        .withColumn("scale",
+          expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12) / 127.0"))
+        .withColumn("q",
+          expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          expr("aggregate(q, 0, (a, x) -> a + x)").as("q_sum"),
+          round(expr("array_max(zip_with(v, q, (x, qq) -> abs(x - qq * scale)))"), 6)
+            .as("max_err"))
+    }),
+
+    // --- TX8: per-document TF-IDF keyword extraction (top-3 terms) — the
+    //     classic corpus-statistics operator: document frequencies from
+    //     distinct (word, doc) pairs, term frequencies per doc, one
+    //     row_number window PARTITIONED BY doc_id (cardinality = corpus
+    //     size, so the window parallelizes; never a global window). ---
+    "tx_tfidf" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs(s, dir).select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      // corpus size rides in as a broadcast scalar — no separate driver
+      // action, no recompute per reference
+      val nDf = docs(s, dir).agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w").asc)
+      tf.join(df, Seq("w")).crossJoin(broadcast(nDf))
+        .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
     "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
       docs(s, dir).select(
@@ -673,6 +732,34 @@ object OpsQueries {
           |  len(regexp_extract_all(no_cc, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
           |  len(regexp_extract_all(no_phone, '[0-9]+')) AS n_nums
           |FROM f""".stripMargin.replace("\n", " "),
+      "tx_sample_strat" ->
+        """SELECT doc_id, lang,
+          |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+          |FROM documents
+          |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+          |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin.replace("\n", " "),
+      "emb_quantize" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale FROM e),
+          |q AS (SELECT vec_id, v, scale,
+          |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv FROM s)
+          |SELECT vec_id, round(scale, 6) AS scale,
+          |  CAST(list_aggregate(qv, 'sum') AS INT) AS q_sum,
+          |  round(list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - qv[i] * scale))), 6) AS max_err
+          |FROM q""".stripMargin.replace("\n", " "),
+      "tx_tfidf" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+          |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+          |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |scored AS (SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+          |           FROM tf JOIN df USING (w) CROSS JOIN n)
+          |SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, round(score, 6) AS score FROM (
+          |  SELECT doc_id, w, score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
+          |  FROM scored)
+          |WHERE rank <= 3""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
       "mm_frame_sample" ->

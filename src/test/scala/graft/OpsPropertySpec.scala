@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property bounds for the round-4 training-data operators (each is also
+  * DuckDB-oracle-matched in CORRECTNESS; these pin the semantic invariants
+  * the oracle equality alone doesn't make explicit).
+  */
+class OpsPropertySpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("emb_quantize: reconstruction error never exceeds the half-step bound") {
+    // Symmetric int8 quantization: |x - q·scale| ≤ scale/2 by construction
+    // (floor(x/scale + 0.5) rounds to the nearest step).
+    val q = OpsQueries.queries("emb_quantize")(spark, dir)
+    q.filter(col("max_err") > col("scale") * 0.5 + 1e-9).count() shouldBe 0L
+    q.count() shouldBe 500L
+  }
+
+  test("tx_sample_strat: hash sampling is deterministic and near the target rates") {
+    val s1 = OpsQueries.queries("tx_sample_strat")(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    val s2 = OpsQueries.queries("tx_sample_strat")(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    s1 shouldBe s2 // content-stable hash ⇒ identical sample every run
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = OpsQueries.queries("tx_sample_strat")(spark, dir)
+      .filter(col("lang") === "en").count().toDouble
+    // md5 buckets are uniform; 50% target with binomial slack
+    (enKept / en) shouldBe 0.50 +- 0.12
+  }
+
+  test("tx_tfidf: exactly the top-3 terms per doc, ranks 1..3, scores descending") {
+    val rows = OpsQueries.queries("tx_tfidf")(spark, dir)
+      .select("doc_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.map(_._2).sorted shouldBe (1 to rs.length)
+      rs.length should be <= 3
+      rs.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach { w =>
+        if (w.length == 2) w(0) should be >= w(1)
+      }
+    }
+  }
+}
