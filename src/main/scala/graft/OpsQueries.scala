@@ -174,6 +174,27 @@ object OpsQueries {
         .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
     }),
 
+    // --- DD8: eval-set decontamination — the release-gate check every
+    //     training pipeline runs: flag TRAINING docs that near-duplicate
+    //     any doc of a held-out EVAL set (here the corpus splits at
+    //     doc_id 450), via the same banded-signature semi-join as
+    //     incremental dedup with the roles reversed. Only ids and band
+    //     hashes move; neither side's text is ever joined. ---
+    "dd_decontaminate" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.IncrementalDedup
+      val tok = docShingles(s, dir)
+      val train = IncrementalDedup.signatures(
+        tok.filter(col("doc_id") < 450), "doc_id", "toks", MinhashBands, MinhashRows)
+      val evalSigs = IncrementalDedup.signatures(
+        tok.filter(col("doc_id") >= 450), "doc_id", "toks", MinhashBands, MinhashRows)
+      val contaminated = IncrementalDedup.duplicateIds(train, evalSigs, "doc_id")
+        .withColumn("is_contaminated", lit(true))
+      docs(s, dir).select("doc_id").filter(col("doc_id") < 450)
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+    }),
+
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
@@ -513,6 +534,29 @@ object OpsQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // --- TX9: document chunking — the context-window splitter every LLM
+    //     data pipeline runs before tokenization: overlapping 32-word
+    //     chunks on a 24-word stride (8-word overlap), emitted as
+    //     (doc_id, chunk_idx, chunk_hash, chunk_words). The fan-out is one
+    //     posexplode over a per-doc index sequence; slice() clamps the
+    //     final partial chunk. Pure generator + projection — no shuffle,
+    //     no UDF. ---
+    "tx_chunk" -> ((s: SparkSession, dir: String) => {
+      val chunkWords = 32
+      val stride = 24
+      docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .withColumn("nw", size(col("ws")))
+        .select(col("doc_id"), col("ws"),
+          posexplode(expr(
+            s"sequence(0, greatest(0, CAST(ceil((nw - $chunkWords) / CAST($stride AS DOUBLE)) AS INT)))"))
+            .as(Seq("chunk_idx", "__i")))
+        .withColumn("chunk", expr(s"slice(ws, chunk_idx * $stride + 1, $chunkWords)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"),
+          size(col("chunk")).as("chunk_words"))
+    }),
+
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
     "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
       docs(s, dir).select(
@@ -624,6 +668,29 @@ object OpsQueries {
            |SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_dup
            |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
            |WHERE d.doc_id >= 250""".stripMargin.replace("\n", " "),
+      "dd_decontaminate" ->
+        s"""WITH tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |t AS (SELECT * FROM sig WHERE doc_id < 450),
+           |e AS (SELECT * FROM sig WHERE doc_id >= 450),
+           |dup AS (
+           |  SELECT DISTINCT t.doc_id FROM t JOIN e ON t.b1 = e.b1
+           |  UNION
+           |  SELECT DISTINCT t.doc_id FROM t JOIN e ON t.b2 = e.b2)
+           |SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_contaminated
+           |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+           |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
+      "tx_chunk" ->
+        """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |x AS (SELECT doc_id, ws,
+          |  unnest(range(0, greatest(0, CAST(ceil((len(ws) - 32) / 24.0) AS INT)) + 1)) AS chunk_idx
+          |  FROM d),
+          |c AS (SELECT doc_id, chunk_idx,
+          |  ws[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, len(ws))] AS chunk FROM x)
+          |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+          |  md5(array_to_string(chunk, ' ')) AS chunk_hash,
+          |  CAST(len(chunk) AS INT) AS chunk_words
+          |FROM c""".stripMargin.replace("\n", " "),
       "dd_simhash" ->
         s"""WITH w AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents),
            |hh AS (SELECT doc_id, ('0x' || substring(h, 1, 8))::BIGINT AS hA, ('0x' || substring(h, 9, 8))::BIGINT AS hB FROM w),
