@@ -11,18 +11,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.ui.enabled", "false")
-    if (sys.env.get("SPARK_LOCAL_DIRS").isEmpty &&
-        new java.io.File("/dev/shm").isDirectory)
-      builder.config("spark.local.dir", "/dev/shm/graft-bench-local")
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session config shared with the BenchOne A/B harness — one definition
+    // so the two harnesses can never drift apart.
+    val spark = BenchOne.benchSession(cpus)
 
     // Warmup: JIT + codegen + parquet-footer caches, not measured — one
     // query per input table family (events / embeddings / documents), so

@@ -13,6 +13,27 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchOne {
 
+  /** THE bench session config — one definition shared by `Bench` and
+    * `BenchOne` so the full-catalog bench and the A/B harness can never
+    * drift apart on master/shuffle/AQE/tmpfs settings (which would
+    * silently invalidate cross-harness comparisons).
+    */
+  def benchSession(cpus: String): SparkSession = {
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false")
+    if (sys.env.get("SPARK_LOCAL_DIRS").isEmpty &&
+        new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/graft-bench-local")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   /** Fixed CPU-bound work, same shape at every commit: md5 over a range.
     * Wall-clock of this burn is the host-speed yardstick.
     */
@@ -27,18 +48,7 @@ object BenchOne {
       .split(",").toSeq
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.ui.enabled", "false")
-    if (sys.env.get("SPARK_LOCAL_DIRS").isEmpty &&
-        new java.io.File("/dev/shm").isDirectory)
-      builder.config("spark.local.dir", "/dev/shm/graft-bench-local")
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = benchSession(cpus)
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9

@@ -32,13 +32,20 @@ object OpsQueries {
     * round-3 prescription. The frame is narrow (id + shingle array) and
     * deterministic, so memoization cannot change any result.
     */
+  // Correctness contract of the memo: the parquet under `dir` is immutable
+  // for the session's lifetime (true for the read-only testdata and for
+  // any sane catalog snapshot). Entries of STOPPED sessions are purged on
+  // every access so a long-lived JVM cycling sessions (test suites,
+  // repeated bench mains) cannot accumulate dead session/block references.
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     shingleCache.computeIfAbsent((spark, dir), k =>
       graft.ops.IncrementalDedup.shingles(docs(k._1, k._2), "text")
         .select("doc_id", "toks")
         .localCheckpoint())
+  }
 
   // Null-signature caveat shared by every MinHash-derived oracle below:
   // a <3-word doc has toks = [] and list_min(...) = NULL; SQL equi-joins
@@ -450,9 +457,12 @@ object OpsQueries {
     //     corpus carries no real PII, so each doc is first salted with a
     //     DETERMINISTIC doc_id-derived email + phone + card span (mirrored
     //     verbatim in the oracle); the redaction pass then has non-trivial
-    //     work to count and strip. Order matters: email → card → phone →
-    //     generic digit runs, so the generic rule never eats a structured
-    //     span first. ---
+    //     work to count and strip. Order matters: email → phone → card →
+    //     generic digit runs. Phone BEFORE card: the phone pattern is
+    //     anchored by its "+1-" prefix and can never eat card digits,
+    //     while the card pattern run first would consume "<phone last-4>
+    //     4111 1111 1111" across the boundary and leave both spans
+    //     half-redacted (round-4 self-review caught exactly that). ---
     "tx_scrub2" -> ((s: SparkSession, dir: String) => {
       val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
@@ -464,15 +474,15 @@ object OpsQueries {
         lit(" +1-555-"), id4,
         lit(" 4111 1111 1111 "), id4)
       val noEmail = regexp_replace(pii, emailRe, "<EMAIL>")
-      val noCc = regexp_replace(noEmail, ccRe, "<CC>")
-      val noPhone = regexp_replace(noCc, phoneRe, "<PHONE>")
+      val noPhone = regexp_replace(noEmail, phoneRe, "<PHONE>")
+      val noCc = regexp_replace(noPhone, ccRe, "<CC>")
       docs(s, dir).select(
         col("doc_id"),
-        md5(regexp_replace(noPhone, numRe, "<NUM>")).as("scrub_hash"),
+        md5(regexp_replace(noCc, numRe, "<NUM>")).as("scrub_hash"),
         regexp_count(pii, lit(emailRe)).as("n_emails"),
-        regexp_count(noEmail, lit(ccRe)).as("n_ccs"),
-        regexp_count(noCc, lit(phoneRe)).as("n_phones"),
-        regexp_count(noPhone, lit(numRe)).as("n_nums"))
+        regexp_count(noEmail, lit(phoneRe)).as("n_phones"),
+        regexp_count(noPhone, lit(ccRe)).as("n_ccs"),
+        regexp_count(noCc, lit(numRe)).as("n_nums"))
     }),
 
     // --- TX7: deterministic stratified sampling — the data-mixing pass of
@@ -790,15 +800,15 @@ object OpsQueries {
           |  text || ' user' || doc_id || '@mail.example.org +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' 4111 1111 1111 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS pii
           |  FROM documents),
           |s AS (SELECT doc_id, pii, regexp_replace(pii, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS no_email FROM p),
-          |c AS (SELECT *, regexp_replace(no_email, '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}', '<CC>', 'g') AS no_cc FROM s),
-          |f AS (SELECT *, regexp_replace(no_cc, '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS no_phone FROM c)
+          |f AS (SELECT *, regexp_replace(no_email, '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS no_phone FROM s),
+          |c AS (SELECT *, regexp_replace(no_phone, '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}', '<CC>', 'g') AS no_cc FROM f)
           |SELECT doc_id,
-          |  md5(regexp_replace(no_phone, '[0-9]+', '<NUM>', 'g')) AS scrub_hash,
+          |  md5(regexp_replace(no_cc, '[0-9]+', '<NUM>', 'g')) AS scrub_hash,
           |  len(regexp_extract_all(pii, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-          |  len(regexp_extract_all(no_email, '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}')) AS n_ccs,
-          |  len(regexp_extract_all(no_cc, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
-          |  len(regexp_extract_all(no_phone, '[0-9]+')) AS n_nums
-          |FROM f""".stripMargin.replace("\n", " "),
+          |  len(regexp_extract_all(no_email, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+          |  len(regexp_extract_all(no_phone, '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}')) AS n_ccs,
+          |  len(regexp_extract_all(no_cc, '[0-9]+')) AS n_nums
+          |FROM c""".stripMargin.replace("\n", " "),
       "tx_sample_strat" ->
         """SELECT doc_id, lang,
           |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket

@@ -140,11 +140,21 @@ object IncrementalDedup {
       keptSigs: DataFrame,
       batchId: Long,
       nBuckets: Int = 16
+  ): Unit =
+    appendSignaturesRaw(catalog,
+      keptSigs.withColumn("batch_id", lit(batchId)), nBuckets)
+
+  /** Append already-batch-tagged signature rows to the bucketed store
+    * (the migration path feeds pre-tagged legacy rows through here).
+    */
+  def appendSignaturesRaw(
+      catalog: graft.sink.TranscriptCatalog,
+      sigs: DataFrame,
+      nBuckets: Int = 16
   ): Unit = {
     catalog.ensureBucketed(StoreTable, StoreSchemaDdl, StoreBucketCols, nBuckets)
     catalog.appendBucketed(
-      keptSigs.withColumn("batch_id", lit(batchId))
-        .select("doc_id", "band_idx", "band_hash", "batch_id"),
+      sigs.select("doc_id", "band_idx", "band_hash", "batch_id"),
       StoreTable, StoreBucketCols, nBuckets)
   }
 }

@@ -190,9 +190,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // Derive the dimensionality from the data unless the caller knows it
     // (round-3 advice: a hardcoded dim silently null-contaminates the
-    // Lloyd means for any other embedding width). One limit-1 probe job.
+    // Lloyd means for any other embedding width). One limit-1 probe job;
+    // an EMPTY input degrades to an empty centroid table (dim value is
+    // then irrelevant) instead of crashing the probe.
     val dim = dimOpt.getOrElse(
-      e.select(size(col("v")).as("d")).head.getInt(0))
+      e.select(size(col("v")).as("d")).head(1).headOption
+        .map(_.getInt(0)).getOrElse(1))
     // row_number over a global order is the low-cardinality-window
     // anti-pattern IN GENERAL; here it runs over the nCells-row limit
     // result, which is single-partition by construction.

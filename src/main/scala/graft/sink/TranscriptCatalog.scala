@@ -35,6 +35,27 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
+  /** Recursive listing of `table`'s `partitionCol=...` directories (any
+    * nesting depth) — the ONE walk under both partition GC and partition
+    * listing. Pure FS metadata, no data scan.
+    */
+  private def partitionDirs(
+      table: String,
+      partitionCol: String
+  ): (org.apache.hadoop.fs.FileSystem, Seq[org.apache.hadoop.fs.Path]) = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(path(table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return (fs, Nil)
+    val prefix = partitionCol + "="
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        if (st.getPath.getName.startsWith(prefix)) Seq(st.getPath)
+        else walk(st.getPath)
+      }
+    (fs, walk(base))
+  }
+
   /** Delete every `partitionCol=value` directory of `table` (at any nesting
     * depth) for which `drop(value)` holds. Crash-recovery GC: a run that
     * died after its partition writes but before its manifest commit leaves
@@ -44,17 +65,9 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     * metadata work — no data scan.
     */
   def dropPartitions(table: String, partitionCol: String, drop: String => Boolean): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(path(table))
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return Nil
     val prefix = partitionCol + "="
-    def walk(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
-        if (st.getPath.getName.startsWith(prefix)) Seq(st.getPath)
-        else walk(st.getPath)
-      }
-    val victims = walk(base).filter(p => drop(p.getName.stripPrefix(prefix)))
+    val (fs, dirs) = partitionDirs(table, partitionCol)
+    val victims = dirs.filter(p => drop(p.getName.stripPrefix(prefix)))
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.toString)
   }
@@ -65,22 +78,34 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  /** Existing `partitionCol=value` values of `table` — pure FS metadata
-    * listing, no data scan (the read side of `dropPartitions`' walk).
+  /** Names of `table`'s data files (recursive; FS metadata only, commit
+    * markers and hidden files excluded). Used by format-migration checks.
     */
-  def listPartitionValues(table: String, partitionCol: String): Seq[String] = {
+  def dataFileNames(table: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val base = new Path(path(table))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Nil
-    val prefix = partitionCol + "="
     def walk(p: Path): Seq[String] =
-      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
-        if (st.getPath.getName.startsWith(prefix))
-          Seq(st.getPath.getName.stripPrefix(prefix))
-        else walk(st.getPath)
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st.getPath.getName)
       }
-    walk(base)
+    walk(base).filterNot(n => n.startsWith("_") || n.startsWith("."))
+  }
+
+  /** Delete `table`'s directory entirely (migration/rebuild use). */
+  def deleteTable(table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Existing `partitionCol=value` values of `table` — the read side of
+    * the shared `partitionDirs` walk.
+    */
+  def listPartitionValues(table: String, partitionCol: String): Seq[String] = {
+    val prefix = partitionCol + "="
+    partitionDirs(table, partitionCol)._2.map(_.getName.stripPrefix(prefix))
   }
 
   // ------------------------------------------------------------------

@@ -175,6 +175,45 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** One-time migration of a store written by the pre-round-4 sink
+    * (plain un-bucketed signature files; committed batch ids as marker
+    * ROWS inside the store): rewrites the signature files into the
+    * bucketed layout and back-fills each committed batch id as a
+    * `batches` partition marker, so the current replay guard and the
+    * exchange-free store join work against upgraded history. Detection is
+    * by file naming — bucketed files carry a `_NNNNN` bucket id, plain
+    * appends never do. Returns true iff a migration ran.
+    */
+  def migrateLegacyNeardupStore(
+      spark: SparkSession,
+      catalogRoot: String,
+      storeBuckets: Int = 16
+  ): Boolean = {
+    import graft.ops.IncrementalDedup
+    import graft.sink.TranscriptCatalog
+    val catalog = new TranscriptCatalog(catalogRoot, spark)
+    val files = catalog.dataFileNames(IncrementalDedup.StoreTable)
+    val legacy = files.nonEmpty && !files.exists(_.matches(""".*_\d{5}\..*"""))
+    if (!legacy) return false
+    val old = catalog.read(IncrementalDedup.StoreTable)
+    val batchIds = old.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // Stage real signatures (old marker rows carried doc_id = -1) OUT of
+    // the store directory, then rebuild it bucketed from the stage — never
+    // read and overwrite the same files in one job.
+    val stage = s"${IncrementalDedup.StoreTable}__migrating"
+    catalog.append(old.filter(col("doc_id") =!= -1L), stage)
+    catalog.deleteTable(IncrementalDedup.StoreTable)
+    IncrementalDedup.appendSignaturesRaw(
+      catalog, catalog.read(stage), storeBuckets)
+    catalog.deleteTable(stage)
+    import spark.implicits._
+    catalog.append(
+      batchIds.toSeq.toDF("batch_id").withColumn("one", lit(1)),
+      "batches", Seq("batch_id"))
+    true
+  }
+
   /** One micro-batch of `neardupSink` (public so the replay guard and
     * crash-ordering semantics are directly testable).
     */
@@ -190,6 +229,7 @@ object StreamingPipeline {
     import graft.sink.TranscriptCatalog
     val spark = batch.sparkSession
     val catalog = new TranscriptCatalog(catalogRoot, spark)
+    migrateLegacyNeardupStore(spark, catalogRoot, storeBuckets)
     if (catalog.listPartitionValues("batches", "batch_id")
           .contains(batchId.toString)) return
     // shingles is column-preserving, so text rides along for the kept sink

@@ -18,6 +18,17 @@ class OpsPropertySpec extends SparkSpecBase {
     q.count() shouldBe 500L
   }
 
+  test("tx_scrub2: every injected email/phone/card span is actually detected") {
+    // The regression this pins: with card-before-phone redaction order the
+    // card regex ate the phone's last 4 digits across the span boundary
+    // and n_phones was 0 for every doc while the oracle (mirroring the
+    // same defect) stayed green.
+    val r = OpsQueries.queries("tx_scrub2")(spark, dir)
+    r.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1 || col("n_ccs") =!= 1)
+      .count() shouldBe 0L
+    r.count() shouldBe 500L
+  }
+
   test("tx_sample_strat: hash sampling is deterministic and near the target rates") {
     val s1 = OpsQueries.queries("tx_sample_strat")(spark, dir)
       .collect().map(_.getLong(0)).sorted

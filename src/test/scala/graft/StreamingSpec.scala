@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.model.Turn
@@ -152,6 +153,49 @@ class StreamingSpec extends SparkSpecBase {
     spark.read.parquet(s"$out/docs_kept").count() shouldBe n1
     new graft.sink.TranscriptCatalog(out, spark)
       .listPartitionValues("batches", "batch_id") shouldBe Seq("0")
+  }
+
+  test("pre-round-4 stores migrate: files re-bucketed, marker rows become batch markers") {
+    import graft.ops.IncrementalDedup
+    import graft.sink.TranscriptCatalog
+    val out = tmpDir("stream-neardup-legacy")
+    val catalog = new TranscriptCatalog(out, spark)
+    // Reconstruct the OLD on-disk format by hand: plain (un-bucketed)
+    // signature appends with the replay marker as an in-store row
+    // (doc_id = -1, null hash), and docs_kept for batch 0.
+    val doc1 = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val tok1 = IncrementalDedup.shingles(doc1, "text")
+    val legacySigs = IncrementalDedup
+      .signatures(tok1, "doc_id", "toks", 2, 1)
+      .withColumn("batch_id", lit(0L))
+      .unionByName(spark.range(1).select(
+        lit(-1L).as("doc_id"), lit(-1).as("band_idx"),
+        lit(null).cast("string").as("band_hash"), lit(0L).as("batch_id")))
+    catalog.append(legacySigs, "signatures")
+    catalog.append(doc1.withColumn("batch_id", lit(0L)), "docs_kept")
+
+    // A foreachBatch RETRY of the already-committed legacy batch must be a
+    // no-op: migration back-fills batch 0's marker from the in-store rows.
+    StreamingPipeline.processNeardupBatch(doc1, 0L, out, 2, 1, storeBuckets = 4)
+    spark.read.parquet(s"$out/docs_kept").count() shouldBe 1L
+    new TranscriptCatalog(out, spark)
+      .listPartitionValues("batches", "batch_id") should contain("0")
+    // The migrated store is bucketed (bucket id in every file name) and
+    // marker rows are gone.
+    val names = catalog.dataFileNames("signatures")
+    names should not be empty
+    all(names) should fullyMatch regex """.*_\d{5}\..*"""
+    spark.read.parquet(s"$out/signatures")
+      .filter(col("doc_id") === -1L).count() shouldBe 0L
+    // A new batch near-duplicating legacy history is dropped via the
+    // migrated store.
+    val doc10 = Seq(10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "completely unrelated fresh words with no overlap here")
+      .toDF("doc_id", "text")
+    StreamingPipeline.processNeardupBatch(doc10, 1L, out, 2, 1, storeBuckets = 4)
+    spark.read.parquet(s"$out/docs_kept")
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 11L)
   }
 
   test("within-batch near-dups resolve transitively, not greedily") {
