@@ -357,24 +357,23 @@ object OpsQueries {
       val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val scrubbed = regexp_replace(
         regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
-      // ONE pass derives everything downstream needs from text — quality,
-      // content hash, scrub hash, shingles — so the wide text column never
-      // has to be cached or re-shuffled: the only persisted state from
-      // here on is NARROW (ids + hashes + quality + toks); at corpus
-      // scale, caching text-bearing rows is the shape that dies first.
-      val derived = IncrementalDedup.shingles(
-          docs(s, dir).withColumn("quality", quality)
-            .filter(col("quality") >= 0.4)
-            .withColumn("h", md5(col("text")))
-            .withColumn("scrub_hash", md5(scrubbed)),
-          "text")
-        .drop("text")
-      val meta = derived.select("doc_id", "quality", "h", "scrub_hash").persist()
+      // ONE pass over text derives the narrow meta (quality, content
+      // hash, scrub hash) — the wide text column is never cached or
+      // re-shuffled; at corpus scale, caching text-bearing rows is the
+      // shape that dies first. Shingles come from the session-memoized
+      // docShingles frame (the same tokenization every dd_* operator
+      // uses), semi-joined down to the exact-dedup survivors — the
+      // nightly-pipeline shape where corpus stages share one tokenizer
+      // pass instead of re-deriving it per stage.
+      val meta = docs(s, dir).withColumn("quality", quality)
+        .filter(col("quality") >= 0.4)
+        .select(col("doc_id"), col("quality"),
+          md5(col("text")).as("h"), md5(scrubbed).as("scrub_hash"))
+        .persist()
       val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       val pairs = MinHash.candidatePairs(
-        derived.join(exactKeep, Seq("doc_id"), "left_semi")
-          .select("doc_id", "toks"),
+        docShingles(s, dir).join(exactKeep, Seq("doc_id"), "left_semi"),
         "doc_id", "toks", MinhashBands, MinhashRows)
       val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
