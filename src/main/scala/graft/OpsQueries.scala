@@ -387,6 +387,66 @@ object OpsQueries {
       res
     }),
 
+    // --- CORPUS2: the INCREMENTAL corpus build — the daily-batch form of
+    //     corpus_build, composed from the same primitives: history
+    //     (doc_id < 250) runs the full quality → exact-dedup → CC pipeline
+    //     and its survivors' band signatures form the store; the new batch
+    //     (doc_id >= 250) is quality-filtered, exact-deduped within
+    //     itself, dropped against the history store by one ids-only
+    //     semi-join (text never moves), and its within-batch near-dups
+    //     resolve transitively through connected components — exactly what
+    //     the streaming neardupSink does per micro-batch, here as an
+    //     oracle-checkable batch query. Output: every quality-surviving
+    //     batch doc with its keep/drop verdict. ---
+    "q_corpus_incremental" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.{ConnectedComponents, IncrementalDedup}
+      val ws = split(lower(col("text")), " ")
+      val nWords = size(ws)
+      val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")
+      val quality = least(lit(1.0), nWords.cast("double") / 50) *
+        (lit(1.0) - stops.cast("double") / nWords)
+      val q = docs(s, dir).withColumn("quality", quality)
+        .filter(col("quality") >= 0.4)
+        .withColumn("h", md5(col("text")))
+        .select("doc_id", "h")
+        .persist()
+      val tok = docShingles(s, dir)
+      // History side: full corpus pipeline on doc_id < 250 → kept docs.
+      val hist = q.filter(col("doc_id") < 250)
+      val histExact = hist.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val histPairs = MinHash.candidatePairs(
+        tok.join(histExact, Seq("doc_id"), "left_semi"),
+        "doc_id", "toks", MinhashBands, MinhashRows)
+      val histComps = ConnectedComponents.resolve(histPairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val histKept = histExact.join(histComps, Seq("doc_id"), "left")
+        .filter(col("label").isNull || col("label") === col("doc_id"))
+        .select("doc_id")
+      val store = IncrementalDedup.signatures(
+        tok.join(histKept, Seq("doc_id"), "left_semi"),
+        "doc_id", "toks", MinhashBands, MinhashRows)
+      // Batch side: exact within batch → store semi-join → within-batch CC.
+      val batch = q.filter(col("doc_id") >= 250)
+      val batchExact = batch.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val batchToks = tok.join(batchExact, Seq("doc_id"), "left_semi")
+      val (kept0, _, _) = IncrementalDedup.dedupBatch(
+        batchToks, store, "doc_id", "toks", MinhashBands, MinhashRows)
+      val withinPairs = MinHash.candidatePairs(
+        kept0.select("doc_id", "toks"), "doc_id", "toks", MinhashBands, MinhashRows)
+      val withinDrop = ConnectedComponents.resolve(withinPairs, "id_a", "id_b")
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      val keptIds = kept0.select("doc_id")
+        .join(withinDrop, Seq("doc_id"), "left_anti")
+        .withColumn("__kept", lit(true))
+      val res = batch.select("doc_id")
+        .join(keptIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__kept"), lit(false)).as("is_kept"))
+        .localCheckpoint()
+      q.unpersist()
+      res
+    }),
+
     // --- TX1: quality scoring (length / stopword ratios) ---
     "tx_quality" -> ((s: SparkSession, dir: String) => {
       val ws = split(lower(col("text")), " ")
@@ -765,6 +825,52 @@ object OpsQueries {
            |  round(k1.quality, 4) AS quality
            |FROM k1 LEFT JOIN comp c ON c.id = k1.doc_id
            |WHERE c.rep IS NULL OR c.rep = k1.doc_id""".stripMargin.replace("\n", " "),
+      "q_corpus_incremental" ->
+        s"""WITH RECURSIVE
+           |q0 AS (SELECT doc_id, text,
+           |  least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) *
+           |  (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))) AS quality,
+           |  md5(text) AS h FROM documents),
+           |qq AS (SELECT * FROM q0 WHERE quality >= 0.4),
+           |tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |hq AS (SELECT * FROM qq WHERE doc_id < 250),
+           |hek AS (SELECT min(doc_id) AS doc_id FROM hq GROUP BY h),
+           |hsig AS (SELECT sig.* FROM sig JOIN hek USING (doc_id)),
+           |hpairs AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM hsig a JOIN hsig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM hsig a JOIN hsig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+           |hedges AS (SELECT da AS src, db AS dst FROM hpairs UNION SELECT db AS src, da AS dst FROM hpairs),
+           |hreach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM hedges
+           |  UNION
+           |  SELECT hreach.id, e.dst FROM hreach JOIN hedges e ON e.src = hreach.r),
+           |hcomp AS (SELECT id, min(r) AS rep FROM hreach GROUP BY id),
+           |hkept AS (SELECT hek.doc_id FROM hek LEFT JOIN hcomp c ON c.id = hek.doc_id WHERE c.rep IS NULL OR c.rep = hek.doc_id),
+           |store AS (SELECT s.* FROM sig s JOIN hkept USING (doc_id)),
+           |bq AS (SELECT * FROM qq WHERE doc_id >= 250),
+           |bek AS (SELECT min(doc_id) AS doc_id FROM bq GROUP BY h),
+           |bsig AS (SELECT s.* FROM sig s JOIN bek USING (doc_id)),
+           |crossdup AS (
+           |  SELECT DISTINCT bsig.doc_id FROM bsig JOIN store ON bsig.b1 = store.b1
+           |  UNION
+           |  SELECT DISTINCT bsig.doc_id FROM bsig JOIN store ON bsig.b2 = store.b2),
+           |k0 AS (SELECT bek.doc_id FROM bek LEFT JOIN crossdup ON bek.doc_id = crossdup.doc_id WHERE crossdup.doc_id IS NULL),
+           |k0sig AS (SELECT s.* FROM sig s JOIN k0 USING (doc_id)),
+           |wpairs AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM k0sig a JOIN k0sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM k0sig a JOIN k0sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+           |wedges AS (SELECT da AS src, db AS dst FROM wpairs UNION SELECT db AS src, da AS dst FROM wpairs),
+           |wreach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM wedges
+           |  UNION
+           |  SELECT wreach.id, e.dst FROM wreach JOIN wedges e ON e.src = wreach.r),
+           |wcomp AS (SELECT id, min(r) AS rep FROM wreach GROUP BY id),
+           |kept AS (SELECT k0.doc_id FROM k0 LEFT JOIN wcomp c ON c.id = k0.doc_id WHERE c.rep IS NULL OR c.rep = k0.doc_id)
+           |SELECT bq.doc_id, (kept.doc_id IS NOT NULL) AS is_kept
+           |FROM bq LEFT JOIN kept ON bq.doc_id = kept.doc_id""".stripMargin.replace("\n", " "),
       "tx_quality" ->
         """SELECT doc_id,
           |  len(string_split(lower(text), ' ')) AS n_words,
