@@ -495,6 +495,26 @@ object OpsQueries {
         .orderBy(col("cnt").desc, col("bigram").asc).limit(50)
     }),
 
+    // --- TX10: corpus-LM quality scoring — the language-model-likeness
+    //     filter of a training pipeline (the KenLM-shaped stage), stood in
+    //     by the corpus's own bigram statistics: score(doc) = mean log
+    //     corpus-frequency of the doc's bigram occurrences. Two partial-agg
+    //     shuffles (per-occurrence corpus counts, per-doc mean) + one
+    //     ids+counts join; the text column never joins anything. ---
+    "tx_lm_score" -> ((s: SparkSession, dir: String) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+          .as("bigram"))
+      val counts = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      bi.join(counts, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("cnt").cast("double"))), 6).as("lm_score"))
+    }),
+
     // --- TX5: PII scrubbing — the redaction pass every training-data
     //     pipeline runs before tokenization (emails + number spans →
     //     placeholder tokens; count of redactions per doc; scrubbed text
@@ -894,6 +914,17 @@ object OpsQueries {
           |  FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
           |  WHERE len(ws) >= 2)
           |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      "tx_lm_score" ->
+        """WITH bi AS (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+          |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+          |  WHERE len(ws) >= 2),
+          |counts AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  round(avg(ln(CAST(cnt AS DOUBLE))), 6) AS lm_score
+          |FROM bi JOIN counts USING (bigram)
+          |GROUP BY doc_id""".stripMargin.replace("\n", " "),
       "tx_scrub" ->
         """SELECT doc_id,
           |  md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS scrub_hash,
