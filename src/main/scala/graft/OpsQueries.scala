@@ -646,6 +646,41 @@ object OpsQueries {
           size(col("chunk")).as("chunk_words"))
     }),
 
+    // --- TX11: sequence packing — assign docs (in stable doc_id order) to
+    //     fixed-token-budget training packs: pack_id = floor(exclusive
+    //     prefix-sum of tokens / budget). A naive global cumulative window
+    //     is a SINGLE-PARTITION sort — dead at corpus scale — so the
+    //     prefix sum is computed hierarchically: per-block token totals
+    //     (one partial agg over doc_id div blockSize), a running offset
+    //     over the tiny block table, then a within-block window
+    //     partitioned by block. Block math is exact, so the result equals
+    //     the sequential scan; the hierarchy nests recursively if the
+    //     block table itself outgrows one task. ---
+    "tx_pack" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val blockSize = 100
+      val toks = docs(s, dir).select(col("doc_id"),
+          size(split(lower(col("text")), " ")).as("tokens"))
+        .withColumn("block", (col("doc_id") / blockSize).cast("bigint"))
+      val blockTotals = toks.groupBy("block")
+        .agg(sum("tokens").as("block_tokens"))
+      // running offset over BLOCKS only (bounded table; the one
+      // single-partition window runs over n/blockSize rows, not n)
+      val wBlocks = Window.orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = blockTotals.withColumn(
+        "block_offset", coalesce(sum("block_tokens").over(wBlocks), lit(0L)))
+      val wIn = Window.partitionBy("block").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(broadcast(offsets.select("block", "block_offset")), Seq("block"))
+        .withColumn("cum_excl",
+          col("block_offset") + coalesce(sum("tokens").over(wIn), lit(0L)))
+        .select(col("doc_id"), col("tokens"),
+          (col("cum_excl") / budget).cast("bigint").as("pack_id"),
+          pmod(col("cum_excl"), lit(budget)).as("pack_pos"))
+    }),
+
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
     "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
       docs(s, dir).select(
@@ -973,6 +1008,14 @@ object OpsQueries {
           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
           |  FROM scored)
           |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+      "tx_pack" ->
+        """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS tokens FROM documents),
+          |c AS (SELECT doc_id, tokens,
+          |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          |  FROM t)
+          |SELECT doc_id, CAST(tokens AS INT) AS tokens,
+          |  cum_excl // 512 AS pack_id, cum_excl % 512 AS pack_pos
+          |FROM c""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
       "mm_frame_sample" ->

@@ -43,6 +43,18 @@ class OpsPropertySpec extends SparkSpecBase {
     (enKept / en) shouldBe 0.50 +- 0.12
   }
 
+  test("tx_pack: the hierarchical prefix sum equals a sequential scan") {
+    val rows = OpsQueries.queries("tx_pack")(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    var cum = 0L
+    rows.foreach { case (_, tokens, packId, packPos) =>
+      packId shouldBe cum / 512
+      packPos shouldBe cum % 512
+      cum += tokens
+    }
+  }
+
   test("tx_tfidf: exactly the top-3 terms per doc, ranks 1..3, scores descending") {
     val rows = OpsQueries.queries("tx_tfidf")(spark, dir)
       .select("doc_id", "rank", "score").collect()
