@@ -89,6 +89,38 @@ object OpsQueries {
     summed.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** THE quality-score expression — one definition shared by tx_quality,
+    * corpus_build, and q_corpus_incremental (their oracles all mirror this
+    * exact formula; a threshold or stopword change must happen HERE).
+    */
+  private def qualityCol: Column = {
+    val ws = split(lower(col("text")), " ")
+    val nWords = size(ws)
+    val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")
+    least(lit(1.0), nWords.cast("double") / 50) *
+      (lit(1.0) - stops.cast("double") / nWords)
+  }
+
+  /** The corpus keep-set: exact dedup (min doc per content hash) followed
+    * by transitive near-dup cluster resolution (one representative per
+    * connected component of the MinHash candidate pairs). `meta` must
+    * carry (doc_id, h); `tok` is the (doc_id, toks) shingle frame. Shared
+    * by corpus_build and q_corpus_incremental's history side.
+    */
+  private def corpusKeepIds(meta: DataFrame, tok: DataFrame): DataFrame = {
+    import graft.ops.ConnectedComponents
+    val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val pairs = MinHash.candidatePairs(
+      tok.join(exactKeep, Seq("doc_id"), "left_semi"),
+      "doc_id", "toks", MinhashBands, MinhashRows)
+    val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    exactKeep.join(comps, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select("doc_id")
+  }
+
   /** dot(a, b) for double arrays via sequential fold (deterministic order). */
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
@@ -348,12 +380,6 @@ object OpsQueries {
     //     ConnectedComponents, tx_scrub's redaction), and the whole chain
     //     is one DuckDB oracle incl. the recursive-CTE clustering. ---
     "corpus_build" -> ((s: SparkSession, dir: String) => {
-      import graft.ops.{ConnectedComponents, IncrementalDedup}
-      val ws = split(lower(col("text")), " ")
-      val nWords = size(ws)
-      val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")
-      val quality = least(lit(1.0), nWords.cast("double") / 50) *
-        (lit(1.0) - stops.cast("double") / nWords)
       val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val scrubbed = regexp_replace(
         regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
@@ -362,24 +388,15 @@ object OpsQueries {
       // re-shuffled; at corpus scale, caching text-bearing rows is the
       // shape that dies first. Shingles come from the session-memoized
       // docShingles frame (the same tokenization every dd_* operator
-      // uses), semi-joined down to the exact-dedup survivors — the
-      // nightly-pipeline shape where corpus stages share one tokenizer
-      // pass instead of re-deriving it per stage.
-      val meta = docs(s, dir).withColumn("quality", quality)
+      // uses); the exact-dedup → cluster-resolution keep-set is the
+      // shared corpusKeepIds chain.
+      val meta = docs(s, dir).withColumn("quality", qualityCol)
         .filter(col("quality") >= 0.4)
         .select(col("doc_id"), col("quality"),
           md5(col("text")).as("h"), md5(scrubbed).as("scrub_hash"))
         .persist()
-      val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val pairs = MinHash.candidatePairs(
-        docShingles(s, dir).join(exactKeep, Seq("doc_id"), "left_semi"),
-        "doc_id", "toks", MinhashBands, MinhashRows)
-      val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
-      val res = meta.join(exactKeep, Seq("doc_id"), "left_semi")
-        .join(comps, Seq("doc_id"), "left")
-        .filter(col("label").isNull || col("label") === col("doc_id"))
+      val kept = corpusKeepIds(meta.select("doc_id", "h"), docShingles(s, dir))
+      val res = meta.join(kept, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("scrub_hash"),
           round(col("quality"), 4).as("quality"))
         .localCheckpoint()
@@ -400,37 +417,29 @@ object OpsQueries {
     //     batch doc with its keep/drop verdict. ---
     "q_corpus_incremental" -> ((s: SparkSession, dir: String) => {
       import graft.ops.{ConnectedComponents, IncrementalDedup}
-      val ws = split(lower(col("text")), " ")
-      val nWords = size(ws)
-      val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")
-      val quality = least(lit(1.0), nWords.cast("double") / 50) *
-        (lit(1.0) - stops.cast("double") / nWords)
-      val q = docs(s, dir).withColumn("quality", quality)
+      val q = docs(s, dir).withColumn("quality", qualityCol)
         .filter(col("quality") >= 0.4)
         .withColumn("h", md5(col("text")))
         .select("doc_id", "h")
         .persist()
       val tok = docShingles(s, dir)
-      // History side: full corpus pipeline on doc_id < 250 → kept docs.
-      val hist = q.filter(col("doc_id") < 250)
-      val histExact = hist.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
-      val histPairs = MinHash.candidatePairs(
-        tok.join(histExact, Seq("doc_id"), "left_semi"),
-        "doc_id", "toks", MinhashBands, MinhashRows)
-      val histComps = ConnectedComponents.resolve(histPairs, "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
-      val histKept = histExact.join(histComps, Seq("doc_id"), "left")
-        .filter(col("label").isNull || col("label") === col("doc_id"))
-        .select("doc_id")
+      // History side: the full corpus keep pipeline on doc_id < 250
+      // (shared corpusKeepIds chain) → survivors' signatures = the store.
+      val histKept = corpusKeepIds(q.filter(col("doc_id") < 250), tok)
       val store = IncrementalDedup.signatures(
         tok.join(histKept, Seq("doc_id"), "left_semi"),
         "doc_id", "toks", MinhashBands, MinhashRows)
       // Batch side: exact within batch → store semi-join → within-batch CC.
+      // Composed from signatures + duplicateIds directly (dedupBatch would
+      // eagerly materialize a kept-signature set this query never uses).
       val batch = q.filter(col("doc_id") >= 250)
       val batchExact = batch.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
       val batchToks = tok.join(batchExact, Seq("doc_id"), "left_semi")
-      val (kept0, _, _) = IncrementalDedup.dedupBatch(
-        batchToks, store, "doc_id", "toks", MinhashBands, MinhashRows)
+      val batchSigs = IncrementalDedup.signatures(
+        batchToks, "doc_id", "toks", MinhashBands, MinhashRows)
+      val crossDups = IncrementalDedup.duplicateIds(batchSigs, store, "doc_id")
+        .localCheckpoint() // small id set, consumed by two downstream joins
+      val kept0 = batchToks.join(crossDups, Seq("doc_id"), "left_anti")
       val withinPairs = MinHash.candidatePairs(
         kept0.select("doc_id", "toks"), "doc_id", "toks", MinhashBands, MinhashRows)
       val withinDrop = ConnectedComponents.resolve(withinPairs, "id_a", "id_b")
@@ -457,8 +466,7 @@ object OpsQueries {
         nWords.as("n_words"),
         round(col("n_chars").cast("double") / nWords, 4).as("avg_word_span"),
         round(stops.cast("double") / nWords, 4).as("stop_ratio"),
-        round(least(lit(1.0), nWords.cast("double") / 50) *
-          (lit(1.0) - stops.cast("double") / nWords), 4).as("quality"))
+        round(qualityCol, 4).as("quality"))
     }),
 
     // --- TX2: language-ID heuristic (stopword n-gram evidence) with a
@@ -502,17 +510,24 @@ object OpsQueries {
     //     shuffles (per-occurrence corpus counts, per-doc mean) + one
     //     ids+counts join; the text column never joins anything. ---
     "tx_lm_score" -> ((s: SparkSession, dir: String) => {
+      // The occurrence frame feeds BOTH the corpus counts and the probe
+      // side of the join — persist it so the scan + split + explode run
+      // once, not twice (the dominant map cost at corpus scale).
       val bi = docs(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
           .as("bigram"))
+        .persist()
       val counts = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-      bi.join(counts, Seq("bigram"))
+      val res = bi.join(counts, Seq("bigram"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log(col("cnt").cast("double"))), 6).as("lm_score"))
+        .localCheckpoint()
+      bi.unpersist()
+      res
     }),
 
     // --- TX5: PII scrubbing — the redaction pass every training-data
@@ -608,19 +623,25 @@ object OpsQueries {
       import org.apache.spark.sql.expressions.Window
       val words = docs(s, dir).select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("w"))
+      // tf feeds both the document-frequency aggregate and the scoring
+      // join — persist so the tokenization fan-out runs once.
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .persist()
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       // corpus size rides in as a broadcast scalar — no separate driver
       // action, no recompute per reference
       val nDf = docs(s, dir).agg(count(lit(1)).as("n"))
       val win = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("w").asc)
-      tf.join(df, Seq("w")).crossJoin(broadcast(nDf))
+      val res = tf.join(df, Seq("w")).crossJoin(broadcast(nDf))
         .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
         .withColumn("rank", row_number().over(win))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("w").as("term"),
           round(col("score"), 6).as("score"))
+        .localCheckpoint()
+      tf.unpersist()
+      res
     }),
 
     // --- TX9: document chunking — the context-window splitter every LLM
