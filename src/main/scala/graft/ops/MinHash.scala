@@ -51,7 +51,8 @@ object MinHash {
       toksCol: String,
       bands: Int,
       rows: Int,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      reliable: Boolean = false
   ): DataFrame = {
     // Docs with NO tokens (e.g. <3-word shingle sets) have a NULL signature
     // minimum; concat_ws silently DROPS null components, so every such doc
@@ -75,8 +76,12 @@ object MinHash {
       .select(col(idCol), posexplode(bandArray(bands, rows)).as(Seq("band_idx", "band_hash")))
       .filter(col("band_hash") =!= lit(emptyBandHash))
       .persist()
-    val pairs = Banding.candidatePairs(sig, idCol, "band_hash", maxBucket)
-      .localCheckpoint()
+    // reliable=true swaps the pair-set materialization for a reliable
+    // checkpoint (see Materialize) — lineage is truncated either way, so
+    // without it an executor loss strands every downstream consumer of
+    // the pair set in a long corpus job.
+    val pairs = Materialize.stable(
+      Banding.candidatePairs(sig, idCol, "band_hash", maxBucket), reliable)
     sig.unpersist()
     pairs
   }

@@ -186,7 +186,12 @@ object Similarity {
     * centroid; the result is localCheckpoint'ed (nCells rows) so downstream
     * query plans scan it instead of replaying the build.
     */
-  def buildIvfTable(e: DataFrame, nCells: Int, dimOpt: Option[Int] = None): DataFrame = {
+  def buildIvfTable(
+      e: DataFrame,
+      nCells: Int,
+      dimOpt: Option[Int] = None,
+      reliable: Boolean = false
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Derive the dimensionality from the data unless the caller knows it
     // (round-3 advice: a hardcoded dim silently null-contaminates the
@@ -199,20 +204,22 @@ object Similarity {
     // row_number over a global order is the low-cardinality-window
     // anti-pattern IN GENERAL; here it runs over the nCells-row limit
     // result, which is single-partition by construction.
-    val seeds = e.orderBy("vec_id").limit(nCells)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
-      .select(col("cell"), col("v").as("cv"))
-      .localCheckpoint()
+    val seeds = Materialize.stable(
+      e.orderBy("vec_id").limit(nCells)
+        .withColumn("cell",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        .select(col("cell"), col("v").as("cv")),
+      reliable)
     val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
     val stats = assignCellBroadcast(e, seeds)
       .groupBy("cell").agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cell"),
         array((0 until dim).map(i => col(s"s$i") / col("n")): _*).as("cv2"))
     // Cells that lost every vector keep their seed centroid.
-    seeds.join(stats, Seq("cell"), "left")
-      .select(col("cell"), coalesce(col("cv2"), col("cv")).as("cv"))
-      .localCheckpoint()
+    Materialize.stable(
+      seeds.join(stats, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cv2"), col("cv")).as("cv")),
+      reliable)
   }
 
   /** Single-query top-k over a DataFrame centroid table: same probe
@@ -228,15 +235,18 @@ object Similarity {
       k: Int,
       nCells: Int,
       nprobe: Int,
-      centsOpt: Option[DataFrame] = None
+      centsOpt: Option[DataFrame] = None,
+      reliable: Boolean = false
   ): DataFrame = {
-    val cents = centsOpt.getOrElse(buildIvfTable(e, nCells))
-    val q = e.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), col("nrm").as("qn")).localCheckpoint()
-    val probed = cents.crossJoin(broadcast(q))
-      .select(col("cell"), dot("cv", "qv").as("d"))
-      .orderBy(col("d").desc, col("cell").asc).limit(nprobe)
-      .select("cell").localCheckpoint()
+    val cents = centsOpt.getOrElse(buildIvfTable(e, nCells, reliable = reliable))
+    val q = Materialize.stable(
+      e.filter(col("vec_id") === queryId)
+        .select(col("v").as("qv"), col("nrm").as("qn")), reliable)
+    val probed = Materialize.stable(
+      cents.crossJoin(broadcast(q))
+        .select(col("cell"), dot("cv", "qv").as("d"))
+        .orderBy(col("d").desc, col("cell").asc).limit(nprobe)
+        .select("cell"), reliable)
     assignCellBroadcast(e, cents)
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= queryId)
@@ -263,10 +273,11 @@ object Similarity {
       k: Int,
       nCells: Int,
       nprobe: Int,
-      centsOpt: Option[DataFrame] = None
+      centsOpt: Option[DataFrame] = None,
+      reliable: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centsOpt.getOrElse(buildIvfTable(e, nCells))
+    val cents = centsOpt.getOrElse(buildIvfTable(e, nCells, reliable = reliable))
     val centsRow = cents.agg(collect_list(struct(col("cell"), col("cv"))).as("__cents"))
     // Probe list per query: sort the per-cell dots ascending by negated
     // dot (ties to the smaller cell id — same order ivfTopK uses), keep
@@ -279,11 +290,11 @@ object Similarity {
              |           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS negd,
              |c.cell AS cell))), 1, $nprobe), s -> s.cell)""".stripMargin
             .replace("\n", " ")).as("probes"))
-      .localCheckpoint()
+    val qprobesStable = Materialize.stable(qprobes, reliable)
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     assignCellBroadcast(e, cents)
-      .join(broadcast(qprobes),
+      .join(broadcast(qprobesStable),
         array_contains(col("probes"), col("cell")) && col("vec_id") =!= col("qid"))
       .withColumn("cos_sim", dot("v", "qv") / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
