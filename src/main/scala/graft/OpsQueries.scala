@@ -336,8 +336,9 @@ object OpsQueries {
 
     // --- ANN3: IVF-probed approximate top-k (inverted-file index: Lloyd-
     //     refined deterministic centroids, probe nprobe nearest cells).
-    //     No SQL oracle (iterative centroid refinement isn't expressible as
-    //     one DuckDB query) — recall vs brute force asserted in
+    //     DuckDB-oracled since round 5: the build is deterministic seeds +
+    //     exactly ONE Lloyd step, which the `ivfCentsSql` CTE chain mirrors
+    //     in plain SQL; recall vs brute force additionally asserted in
     //     SimilaritySpec. ---
     "ann_ivf_topk" -> ((s: SparkSession, dir: String) => {
       val e = Similarity.prepare(emb(s, dir))
@@ -359,8 +360,9 @@ object OpsQueries {
 
     // --- ANN4: batch ANN — top-k for a query TABLE in one pass (per-query
     //     probe lists via single-row centroid broadcast, candidates-only
-    //     rank window). No SQL oracle (iterative centroid build) —
-    //     SimilaritySpec asserts exact brute-force equivalence at
+    //     rank window). DuckDB-oracled since round 5 (same `ivfCentsSql`
+    //     build mirror, per-query probes + rank in SQL); SimilaritySpec
+    //     additionally asserts exact brute-force equivalence at
     //     nprobe = nCells and recall at partial probe. ---
     "ann_ivf_multiquery" -> ((s: SparkSession, dir: String) => {
       val e = Similarity.prepare(emb(s, dir))
@@ -669,37 +671,29 @@ object OpsQueries {
 
     // --- TX11: sequence packing — assign docs (in stable doc_id order) to
     //     fixed-token-budget training packs: pack_id = floor(exclusive
-    //     prefix-sum of tokens / budget). A naive global cumulative window
-    //     is a SINGLE-PARTITION sort — dead at corpus scale — so the
-    //     prefix sum is computed hierarchically: per-block token totals
-    //     (one partial agg over doc_id div blockSize), a running offset
-    //     over the tiny block table, then a within-block window
-    //     partitioned by block. Block math is exact, so the result equals
-    //     the sequential scan; the hierarchy nests recursively if the
-    //     block table itself outgrows one task. ---
+    //     prefix-sum of tokens / budget), via graft.ops.SequencePack's
+    //     hierarchical (genuinely recursive) block-decomposed prefix sum —
+    //     no single-partition window or broadcast ever exceeds maxTopRows
+    //     rows. blockSize/maxTopRows here force the recursion THROUGH the
+    //     oracle gate: 500 docs / 25 = 20 blocks > 8 = two levels. ---
     "tx_pack" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 512
-      val blockSize = 100
       val toks = docs(s, dir).select(col("doc_id"),
-          size(split(lower(col("text")), " ")).as("tokens"))
-        .withColumn("block", (col("doc_id") / blockSize).cast("bigint"))
-      val blockTotals = toks.groupBy("block")
-        .agg(sum("tokens").as("block_tokens"))
-      // running offset over BLOCKS only (bounded table; the one
-      // single-partition window runs over n/blockSize rows, not n)
-      val wBlocks = Window.orderBy("block")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = blockTotals.withColumn(
-        "block_offset", coalesce(sum("block_tokens").over(wBlocks), lit(0L)))
-      val wIn = Window.partitionBy("block").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      toks.join(broadcast(offsets.select("block", "block_offset")), Seq("block"))
-        .withColumn("cum_excl",
-          col("block_offset") + coalesce(sum("tokens").over(wIn), lit(0L)))
-        .select(col("doc_id"), col("tokens"),
-          (col("cum_excl") / budget).cast("bigint").as("pack_id"),
-          pmod(col("cum_excl"), lit(budget)).as("pack_pos"))
+        size(split(lower(col("text")), " ")).as("tokens"))
+      graft.ops.SequencePack.pack(toks, "doc_id", "tokens",
+        budget = 512, blockSize = 25, maxTopRows = 8)
+    }),
+
+    // --- TX11b: SPLIT-aware sequence packing (round-4 verdict item #7) —
+    //     the pretraining-standard variant: the token stream is cut every
+    //     `budget` tokens, so every pack is exactly full and a straddling
+    //     doc contributes one segment row per pack it overlaps.
+    //     SequencePackSpec asserts the every-pack-sums-to-budget property;
+    //     the DuckDB oracle mirrors the segment arithmetic exactly. ---
+    "tx_pack_split" -> ((s: SparkSession, dir: String) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("tokens"))
+      graft.ops.SequencePack.packSplit(toks, "doc_id", "tokens",
+        budget = 512, blockSize = 25, maxTopRows = 8)
     }),
 
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
@@ -765,6 +759,61 @@ object OpsQueries {
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin.replace("\n", " ")
+    // SQL mirror of the deterministic IVF build (round-4 verdict item #3):
+    // Similarity.buildIvfModel / buildIvfTable is seeds = the nCells
+    // lowest-vec_id vectors (cell = rank in vec_id order) + exactly ONE
+    // Lloyd step — assignment is argmax dot with ties to the smallest cell,
+    // the refined centroid is the element-wise mean sum/n, and a cell that
+    // lost every vector keeps its seed. All of that is plain SQL; the CTE
+    // chain below ends in `cents` (cell, cv) and `a1` (vec_id, v, cell) —
+    // the refined index and the refined assignment.
+    val ivfCentsSql =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+        |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+        |a0 AS (SELECT vec_id, v, cell FROM (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+        |  FROM (SELECT e.vec_id, e.v, s.cell, list_dot_product(e.v, s.cv) AS d
+        |        FROM e CROSS JOIN seeds s)) WHERE rn = 1),
+        |m AS (SELECT cell, i, sum(x) / count(*) AS mv FROM (
+        |  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i FROM a0)
+        |  GROUP BY cell, i),
+        |cents0 AS (SELECT cell, list(mv ORDER BY i) AS cv FROM m GROUP BY cell),
+        |cents AS (SELECT s.cell, coalesce(c.cv, s.cv) AS cv
+        |          FROM seeds s LEFT JOIN cents0 c USING (cell)),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+        |  FROM (SELECT e.vec_id, e.v, c.cell, list_dot_product(e.v, c.cv) AS d
+        |        FROM e CROSS JOIN cents c)) WHERE rn = 1)""".stripMargin.replace("\n", " ")
+    val ivfTopkSql =
+      s"""WITH $ivfCentsSql,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probes AS (SELECT cell FROM (
+         |  SELECT c.cell, list_dot_product(c.cv, q.qv) AS d FROM cents c CROSS JOIN q)
+         |  ORDER BY d DESC, cell ASC LIMIT 8)
+         |SELECT a1.vec_id,
+         |  round(list_dot_product(a1.v, q.qv) / (sqrt(list_dot_product(a1.v, a1.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+         |FROM a1 JOIN probes USING (cell) CROSS JOIN q
+         |WHERE a1.vec_id <> 0
+         |ORDER BY list_dot_product(a1.v, q.qv) / (sqrt(list_dot_product(a1.v, a1.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, a1.vec_id ASC
+         |LIMIT 10""".stripMargin.replace("\n", " ")
+    val ivfMultiSql =
+      s"""WITH $ivfCentsSql,
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |qprobes AS (SELECT qid, cell FROM (
+         |  SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d DESC, cell ASC) AS rn
+         |  FROM (SELECT qs.qid, c.cell, list_dot_product(c.cv, qs.qv) AS d
+         |        FROM qs CROSS JOIN cents c)) WHERE rn <= 8),
+         |cand AS (SELECT qid, a1.vec_id,
+         |    list_dot_product(a1.v, qs.qv) / (sqrt(list_dot_product(a1.v, a1.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS cos
+         |  FROM a1 JOIN qprobes USING (cell) JOIN qs USING (qid)
+         |  WHERE a1.vec_id <> qid),
+         |ranked AS (SELECT qid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank FROM cand)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= 5""".stripMargin.replace("\n", " ")
     Map(
       "dd_exact_dup" ->
         "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc FROM documents GROUP BY 1",
@@ -863,6 +912,8 @@ object OpsQueries {
            |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin.replace("\n", " "),
       "ann_topk_bruteforce" -> bruteTopkSql,
       "ann_ivf_exhaustive" -> bruteTopkSql,
+      "ann_ivf_topk" -> ivfTopkSql,
+      "ann_ivf_multiquery" -> ivfMultiSql,
       "ann_lsh_buckets" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
            |SELECT vec_id, ${Lsh.bucketSqlDuck("v", LshBits)} AS bucket FROM e""".stripMargin.replace("\n", " "),
@@ -1029,14 +1080,31 @@ object OpsQueries {
           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
           |  FROM scored)
           |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+      // CAST(... AS BIGINT) on pack_id/pack_pos (round-4 verdict item #1):
+      // DuckDB's window sum of INT is HUGEINT, and HUGEINT reaches the
+      // driver's hash path as float64 — identical values, mismatched hash.
       "tx_pack" ->
         """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS tokens FROM documents),
           |c AS (SELECT doc_id, tokens,
           |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
           |  FROM t)
           |SELECT doc_id, CAST(tokens AS INT) AS tokens,
-          |  cum_excl // 512 AS pack_id, cum_excl % 512 AS pack_pos
+          |  CAST(cum_excl // 512 AS BIGINT) AS pack_id,
+          |  CAST(cum_excl % 512 AS BIGINT) AS pack_pos
           |FROM c""".stripMargin.replace("\n", " "),
+      "tx_pack_split" ->
+        """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS tokens FROM documents),
+          |c AS (SELECT doc_id, tokens,
+          |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          |  FROM t WHERE tokens > 0),
+          |u AS (SELECT doc_id, tokens, cum_excl,
+          |  unnest(range(CAST(cum_excl // 512 AS BIGINT), CAST((cum_excl + tokens - 1) // 512 + 1 AS BIGINT))) AS pack_id
+          |  FROM c)
+          |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+          |  CAST(greatest(cum_excl, pack_id * 512) - cum_excl AS BIGINT) AS seg_off,
+          |  CAST(least(cum_excl + tokens, (pack_id + 1) * 512) - greatest(cum_excl, pack_id * 512) AS BIGINT) AS seg_len,
+          |  CAST(greatest(cum_excl, pack_id * 512) - pack_id * 512 AS BIGINT) AS pack_pos
+          |FROM u""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
       "mm_frame_sample" ->
