@@ -234,6 +234,39 @@ object OpsQueries {
           coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
     }),
 
+    // --- DD8b: N-GRAM-level decontamination (round-4 verdict item #5) —
+    //     the containment check release pipelines actually run: flag any
+    //     TRAINING doc that CONTAINS a long-enough n-gram of an eval doc.
+    //     Whole-doc MinHash (dd_decontaminate) misses the eval answer
+    //     embedded in a larger page — Jaccard against the big doc is tiny;
+    //     8-gram hash containment catches exactly that. Only (doc_id,
+    //     md5(8-gram)) rows ever cross the shuffle: the eval side dedups
+    //     its gram hashes, the train side semi-joins on the hash. At scale
+    //     the eval gram-hash set persists bucketed by hash (the signature-
+    //     store pattern) so nightly runs join it exchange-free. ---
+    "dd_decontam_ngram" -> ((s: SparkSession, dir: String) => {
+      val n = 8
+      def gramHashes(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .filter(size(col("ws")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> md5(concat_ws(' ', slice(ws, i, $n)))))"))
+            .as("gh"))
+      val d = docs(s, dir)
+      // doc_id is a stored column, so both filters push to the scan — the
+      // lazy-column pushdown-substitution trap does not apply here.
+      val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
+        .select("gh").distinct()
+      val hit = gramHashes(d.filter(col("doc_id") < 450))
+        .join(evalGrams, Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("is_contaminated", lit(true))
+      d.select("doc_id").filter(col("doc_id") < 450)
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+    }),
+
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
@@ -471,13 +504,17 @@ object OpsQueries {
         round(qualityCol, 4).as("quality"))
     }),
 
-    // --- TX2: language-ID heuristic (stopword n-gram evidence) with a
-    //     confusion matrix vs the labeled lang column ---
+    // --- TX2: language-ID via stopword-profile scoring (graft.parse.LangId,
+    //     round-4 verdict item #6): per-language function-word hit counts,
+    //     integer argmax with fixed-priority ties — one codegen'd
+    //     projection, no UDF/join/shuffle. Surface stays the confusion
+    //     matrix vs the labeled lang column; LangIdSpec asserts 100%
+    //     labeled accuracy on a real multilingual corpus (the synthetic
+    //     documents text is English-shaped whatever its label says). ---
     "tx_langid" -> ((s: SparkSession, dir: String) => {
-      val pred = when(col("text").rlike(" (the|a) "), lit("en"))
-        .when(col("text").rlike("[à-ÿ]"), lit("latin-ext"))
-        .otherwise(lit("unknown"))
-      docs(s, dir).groupBy(col("lang"), pred.as("lang_pred"))
+      docs(s, dir)
+        .withColumn("__ws", split(lower(col("text")), " "))
+        .groupBy(col("lang"), graft.parse.LangId.predCol("__ws").as("lang_pred"))
         .agg(count(lit(1)).as("cnt"))
     }),
 
@@ -874,6 +911,17 @@ object OpsQueries {
            |SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_contaminated
            |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
            |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
+      "dd_decontam_ngram" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, len(ws) - 7),
+          |    i -> md5(array_to_string(ws[i:i+7], ' '))))) AS gh
+          |  FROM w WHERE len(ws) >= 8),
+          |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id >= 450),
+          |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gh) WHERE g.doc_id < 450)
+          |SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS is_contaminated
+          |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+          |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
       "tx_chunk" ->
         """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
           |x AS (SELECT doc_id, ws,
@@ -1006,10 +1054,10 @@ object OpsQueries {
           |  round(least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) * (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))), 4) AS quality
           |FROM documents""".stripMargin.replace("\n", " "),
       "tx_langid" ->
-        """SELECT lang, CASE WHEN regexp_matches(text, ' (the|a) ') THEN 'en'
-          |  WHEN regexp_matches(text, '[à-ÿ]') THEN 'latin-ext'
-          |  ELSE 'unknown' END AS lang_pred, count(*) AS cnt
-          |FROM documents GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+        s"""SELECT lang,
+           |${graft.parse.LangId.predSqlDuck("string_split(lower(text), ' ')")} AS lang_pred,
+           |count(*) AS cnt
+           |FROM documents GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "tx_tokens" ->
         """SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens

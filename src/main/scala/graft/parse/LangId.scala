@@ -1,0 +1,71 @@
+package graft.parse
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Stopword-profile language identification (round-4 verdict item #6 — the
+  * two-rule regex heuristic replaced by a real classifier): per language, a
+  * profile of its highest-frequency function words; a document's score per
+  * language is the count of profile hits among its words, and the predicted
+  * language is the score argmax with ties resolved in fixed profile order
+  * (and all-zero scores mapping to "unknown").
+  *
+  * Scores are INTEGER counts — not ratios — so the argmax is exactly
+  * mirrorable in any engine with no floating-point compare (dividing every
+  * score by the same n_words cannot change a per-document argmax). The
+  * whole classifier is one codegen'd projection: size(filter(...)) per
+  * profile + a CASE chain; no UDF, no join, no shuffle.
+  *
+  * The profile lists are the classic top function words per language
+  * (public knowledge); they deliberately avoid cross-language collisions
+  * where possible ("de"/"la" appear in several Romance profiles in real
+  * corpora — each word is assigned to its dominant language only, keeping
+  * the scores discriminative on short texts).
+  */
+object LangId {
+
+  /** (language, stopword profile), in tie-break priority order. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "you", "that", "it"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "que", "pour", "dans", "avec"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu", "den", "von"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por", "como", "pero"))
+
+  /** Number of profile hits in word-array column `wsCol` for `words`. */
+  private def hits(wsCol: String, words: Seq[String]): Column =
+    expr(s"size(filter($wsCol, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))")
+
+  /** Predicted language over a word-array column: argmax of profile hit
+    * counts, ties to the earliest profile, all-zero → "unknown".
+    */
+  def predCol(wsCol: String): Column = {
+    val scores = profiles.map { case (lang, words) => lang -> hits(wsCol, words) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // CASE chain in profile order: language i wins when its score is >=
+    // every LATER language's score (an earlier language that tied would
+    // already have taken its own branch — exactly the fixed-priority
+    // tie-break, and exactly mirrorable in SQL).
+    var e: Column = when(allZero, lit("unknown"))
+    for (i <- scores.indices.init) {
+      val (lang, s) = scores(i)
+      val geAllLater = scores.drop(i + 1).map { case (_, t) => s >= t }.reduce(_ && _)
+      e = e.when(geAllLater, lit(lang))
+    }
+    e.otherwise(lit(scores.last._1))
+  }
+
+  /** DuckDB mirror of [[predCol]] over a list expression. */
+  def predSqlDuck(wsExpr: String): String = {
+    def h(words: Seq[String]): String =
+      s"len(list_filter($wsExpr, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val scores = profiles.map { case (lang, words) => lang -> h(words) }
+    val allZero = scores.map { case (_, s) => s"$s = 0" }.mkString(" AND ")
+    val branches = scores.indices.init.map { i =>
+      val (lang, s) = scores(i)
+      val geAllLater = scores.drop(i + 1)
+        .map { case (_, t) => s"$s >= $t" }.mkString(" AND ")
+      s"WHEN $geAllLater THEN '$lang'"
+    }
+    s"CASE WHEN $allZero THEN 'unknown' ${branches.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.parse.LangId
+
+/** Labeled-accuracy gate for the stopword-profile language classifier
+  * (round-4 verdict item #6): on real sentences in each profiled language
+  * the argmax must recover the label exactly; degenerate inputs fall to
+  * "unknown"; and the tie-break is the documented fixed profile order.
+  */
+class LangIdSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def predict(texts: Seq[(String, String)]): Seq[(String, String)] = {
+    texts.toDF("lang", "text")
+      .withColumn("__ws", split(lower(col("text")), " "))
+      .select(col("lang"), LangId.predCol("__ws").as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  private val labeled = Seq(
+    "en" -> "the cat sat on the mat and it is a fine day to be in the sun",
+    "en" -> "you know that the results of the study are in and they look good",
+    "fr" -> "le chat est dans le jardin et les oiseaux chantent pour une belle journée",
+    "fr" -> "les résultats des études sont dans le rapport que nous avons pour vous",
+    "de" -> "der hund ist in dem garten und das wetter ist nicht schlecht für ein spiel",
+    "de" -> "die ergebnisse der studie sind von den forschern und das ist ein erfolg",
+    "es" -> "el gato está en el jardín y los pájaros cantan una canción por la mañana",
+    "es" -> "los resultados de un estudio es algo que vemos como un gran éxito pero raro")
+
+  test("labeled accuracy is 100% on real sentences in every profiled language") {
+    val preds = predict(labeled)
+    preds.foreach { case (lang, pred) => pred shouldBe lang }
+  }
+
+  test("no stopword evidence predicts unknown") {
+    predict(Seq(
+      "zz" -> "quantum flux capacitor harmonics",
+      "zz" -> "zzz qqq www")) foreach { case (_, p) => p shouldBe "unknown" }
+  }
+
+  test("ties break in fixed profile order (en before fr before de before es)") {
+    // exactly one hit for each of two profiles → the earlier profile wins
+    predict(Seq("x" -> "the le")).head._2 shouldBe "en"
+    predict(Seq("x" -> "le der")).head._2 shouldBe "fr"
+    predict(Seq("x" -> "der el")).head._2 shouldBe "de"
+  }
+
+  test("the Spark CASE chain and the DuckDB SQL mirror agree branch for branch") {
+    // the mirror is generated from the same profiles val — a profile edit
+    // that forgets one side cannot pass this
+    val sql = LangId.predSqlDuck("ws")
+    LangId.profiles.foreach { case (lang, words) =>
+      sql should include(s"'$lang'")
+      words.foreach(w => sql should include(s"'$w'"))
+    }
+  }
+}
