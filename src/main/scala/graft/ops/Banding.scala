@@ -20,6 +20,12 @@ object Banding {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Hot buckets dropped by the most recent capped `candidatePairs` call —
+    * the logged drop count as a testable surface (a production deployment
+    * would export it through the metrics sink; specs assert on it here).
+    */
+  val lastHotBucketDrops = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Candidate pairs (id_a < id_b) from a banded frame
     * `(idCol, band_idx, bandValCol)`. Only ids and band values cross the
     * self-join shuffle. `maxBucket`: see object doc.
@@ -41,6 +47,7 @@ object Banding {
           .select("band_idx", bandValCol)
           .localCheckpoint()
         val nHot = hot.count()
+        lastHotBucketDrops.set(nHot)
         if (nHot > 0)
           log.warn(s"dropping $nHot hot band bucket(s) holding > $cap ids each")
         banded.join(broadcast(hot), Seq("band_idx", bandValCol), "left_anti")

@@ -166,11 +166,13 @@ object StreamingPipeline {
       catalogRoot: String,
       checkpoint: String,
       bands: Int = 2,
-      rows: Int = 1
+      rows: Int = 1,
+      maxBucket: Option[Int] = None
   ): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processNeardupBatch(batch, batchId, catalogRoot, bands, rows)
+        processNeardupBatch(batch, batchId, catalogRoot, bands, rows,
+          maxBucket = maxBucket)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -223,7 +225,8 @@ object StreamingPipeline {
       catalogRoot: String,
       bands: Int,
       rows: Int,
-      storeBuckets: Int = 16
+      storeBuckets: Int = 16,
+      maxBucket: Option[Int] = None
   ): Unit = {
     import graft.ops.{ConnectedComponents, IncrementalDedup, MinHash}
     import graft.sink.TranscriptCatalog
@@ -237,8 +240,14 @@ object StreamingPipeline {
     val store = IncrementalDedup.signatureStore(catalog, storeBuckets)
     val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
       tok, store, "doc_id", "toks", bands, rows)
+    // maxBucket = the hot-bucket guard for the within-batch banding
+    // (round-4 verdict item #4): an adversarial near-constant batch puts
+    // every doc in one bucket and the self-join quadratic-blows; the cap
+    // drops such buckets (logged), trading recall for survival — the
+    // nightly-ingest default, OFF only where exact oracles require it.
     val pairs = MinHash.candidatePairs(
-      kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows)
+      kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows,
+      maxBucket = maxBucket)
     val dropWithin = ConnectedComponents.resolve(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
