@@ -71,7 +71,14 @@ object Bench {
     val failed = all.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = all.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The JSON line goes to stdout AND to a file the driver can lift
+    // verbatim (round-4 verdict item #8: the captured stdout tail was
+    // truncated once, zeroing the round's bench artifact).
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), line + "\n")
+    println(line)
     spark.stop()
   }
 }

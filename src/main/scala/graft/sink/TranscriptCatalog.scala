@@ -124,9 +124,41 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     "graft_" + java.lang.Long.toHexString(
       root.foldLeft(1125899906842597L)((h, c) => 31 * h + c).abs) + "_" + table
 
+  /** On-disk bucket spec (`_bucket_spec` next to the table's data files —
+    * the `_` prefix hides it from data-file listings): bucketing metadata
+    * otherwise lives ONLY in the session catalog, so a later session that
+    * re-registers the table with a different bucket count would make Spark
+    * trust a hash layout the files don't satisfy — and a bucketed
+    * "exchange-free" join silently MISSES rows (round-4 advice, medium).
+    * The first writer persists the spec; every later registration
+    * validates against it and fails fast on mismatch.
+    */
+  private def bucketSpecPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${path(table)}/_bucket_spec")
+
+  private def readBucketSpec(table: String): Option[(Seq[String], Int)] = {
+    val p = bucketSpecPath(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    val Array(cols, n) = line.split(";")
+    Some((cols.split(",").toSeq, n.toInt))
+  }
+
+  private def writeBucketSpec(table: String, bucketCols: Seq[String], nBuckets: Int): Unit = {
+    val p = bucketSpecPath(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"${bucketCols.mkString(",")};$nBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Register `table` as an external bucketed parquet table (idempotent).
     * `schemaDdl` is the column list (bucketing DDL cannot infer schema);
-    * bucket+sort columns and count must match every writer.
+    * bucket+sort columns and count must match every writer — enforced
+    * against the persisted on-disk spec, not trusted from the caller.
     */
   def ensureBucketed(
       table: String,
@@ -134,6 +166,15 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
       bucketCols: Seq[String],
       nBuckets: Int
   ): String = {
+    readBucketSpec(table) match {
+      case Some((cols, n)) =>
+        require(cols == bucketCols && n == nBuckets,
+          s"bucket spec mismatch for '$table': files were written CLUSTERED BY " +
+            s"(${cols.mkString(", ")}) INTO $n BUCKETS, caller requested " +
+            s"(${bucketCols.mkString(", ")}) INTO $nBuckets — a mismatched " +
+            "registration would silently mis-join; migrate the table instead")
+      case None => writeBucketSpec(table, bucketCols, nBuckets)
+    }
     val name = bucketedName(table)
     if (!spark.catalog.tableExists(name)) {
       spark.sql(

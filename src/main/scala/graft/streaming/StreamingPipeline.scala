@@ -177,14 +177,39 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** The store-format version marker table: its existence means the
+    * signature store is in the bucketed (v2) layout — either written by
+    * current code from day one, or migrated. Once present, the per-batch
+    * legacy probe is ONE file-system existence check (round-4 advice,
+    * low: the previous probe recursively listed the whole
+    * O(corpus × bands) store every micro-batch).
+    */
+  val StoreFormatMarker: String = "signatures__format_v2"
+
   /** One-time migration of a store written by the pre-round-4 sink
     * (plain un-bucketed signature files; committed batch ids as marker
     * ROWS inside the store): rewrites the signature files into the
     * bucketed layout and back-fills each committed batch id as a
-    * `batches` partition marker, so the current replay guard and the
-    * exchange-free store join work against upgraded history. Detection is
-    * by file naming — bucketed files carry a `_NNNNN` bucket id, plain
-    * appends never do. Returns true iff a migration ran.
+    * `batches` partition marker. Detection is by file naming — bucketed
+    * files carry a `_NNNNN` bucket id, plain appends never do.
+    * Returns true iff a migration ran.
+    *
+    * CRASH-SAFE AND RESUMABLE (round-4 advice, high — this runs inside
+    * foreachBatch, exactly where retries are the norm). Protocol:
+    *  1. `StoreFormatMarker` exists → done (clean up any leftover stage).
+    *  2. A stage table exists → a previous attempt crashed mid-migration:
+    *     RESUME from the stage (never re-detect by file names — after the
+    *     store delete the names would read "empty = not legacy" and the
+    *     whole dedup history would silently vanish, the failure mode the
+    *     advice flagged).
+    *  3. Fresh entry: if the store isn't legacy, write the marker and
+    *     stop. Otherwise stage ALL store rows with OVERWRITE (idempotent
+    *     on retry), then: delete store → rebuild bucketed from stage →
+    *     back-fill missing batch markers → write the format marker
+    *     (THE commit point) → delete the stage. A crash anywhere before
+    *     the marker makes the retry resume at step 2 and redo the
+    *     delete-rebuild from the intact stage; every sub-step is
+    *     idempotent from the stage.
     */
   def migrateLegacyNeardupStore(
       spark: SparkSession,
@@ -193,28 +218,51 @@ object StreamingPipeline {
   ): Boolean = {
     import graft.ops.IncrementalDedup
     import graft.sink.TranscriptCatalog
+    import spark.implicits._
     val catalog = new TranscriptCatalog(catalogRoot, spark)
-    val files = catalog.dataFileNames(IncrementalDedup.StoreTable)
-    val legacy = files.nonEmpty && !files.exists(_.matches(""".*_\d{5}\..*"""))
-    if (!legacy) return false
-    val old = catalog.read(IncrementalDedup.StoreTable)
-    val batchIds = old.select("batch_id").distinct()
-      .collect().map(_.getLong(0)).sorted
-    // Stage real signatures (old marker rows carried doc_id = -1) OUT of
-    // the store directory, then rebuild it bucketed from the stage — never
-    // read and overwrite the same files in one job.
     val stage = s"${IncrementalDedup.StoreTable}__migrating"
-    catalog.append(old.filter(col("doc_id") =!= -1L), stage)
+    if (catalog.exists(StoreFormatMarker)) {
+      // crash window between marker write and stage cleanup
+      catalog.deleteTable(stage)
+      return false
+    }
+    val resuming = catalog.exists(stage)
+    if (!resuming) {
+      val files = catalog.dataFileNames(IncrementalDedup.StoreTable)
+      val legacy = files.nonEmpty && !files.exists(_.matches(""".*_\d{5}\..*"""))
+      if (!legacy) {
+        writeFormatMarker(spark, catalog)
+        return false
+      }
+      // Stage EVERY row (incl. the old doc_id = -1 batch-marker rows — the
+      // resume path rebuilds the `batches` table from them) with overwrite
+      // semantics, so a retry that crashed before the store delete cannot
+      // duplicate stage rows.
+      catalog.overwritePartitions(
+        catalog.read(IncrementalDedup.StoreTable), stage, Nil)
+    }
     catalog.deleteTable(IncrementalDedup.StoreTable)
     IncrementalDedup.appendSignaturesRaw(
-      catalog, catalog.read(stage), storeBuckets)
+      catalog, catalog.read(stage).filter(col("doc_id") =!= -1L), storeBuckets)
+    val existing = catalog.listPartitionValues("batches", "batch_id").toSet
+    val batchIds = catalog.read(stage).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+      .filterNot(id => existing(id.toString))
+    if (batchIds.nonEmpty)
+      catalog.append(
+        batchIds.toSeq.toDF("batch_id").withColumn("one", lit(1)),
+        "batches", Seq("batch_id"))
+    writeFormatMarker(spark, catalog) // COMMIT POINT
     catalog.deleteTable(stage)
-    import spark.implicits._
-    catalog.append(
-      batchIds.toSeq.toDF("batch_id").withColumn("one", lit(1)),
-      "batches", Seq("batch_id"))
     true
   }
+
+  private def writeFormatMarker(
+      spark: SparkSession,
+      catalog: graft.sink.TranscriptCatalog
+  ): Unit =
+    catalog.append(
+      spark.range(1).select(lit(2).as("format_version")), StoreFormatMarker)
 
   /** One micro-batch of `neardupSink` (public so the replay guard and
     * crash-ordering semantics are directly testable).
