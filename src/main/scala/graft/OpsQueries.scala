@@ -122,7 +122,7 @@ object OpsQueries {
     * corpus_build, and q_corpus_incremental (their oracles all mirror this
     * exact formula; a threshold or stopword change must happen HERE).
     */
-  private def qualityCol: Column = {
+  private[graft] def qualityCol: Column = {
     val ws = split(lower(col("text")), " ")
     val nWords = size(ws)
     val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")

@@ -313,6 +313,41 @@ object StreamingPipeline {
       "batches", Seq("batch_id"))
   }
 
+  /** Streaming twin of the corpus pipeline's QUALITY GATE (round-4 verdict
+    * item #9): score each arriving document with THE shared quality
+    * expression (graft.OpsQueries.qualityCol — the same formula
+    * tx_quality, corpus_build and q_corpus_incremental are oracled on),
+    * split at `minQuality`, and aggregate acceptance metrics per
+    * `session_window` of the arrival stream — a gap-based activity window,
+    * so an ingest burst reads as one session row however long it runs,
+    * and quiet gaps close it. Sessions are keyed by `keyCol` (the ingest
+    * feed / source id — streaming session windows require a grouping key,
+    * and per-feed acceptance is what an ingest dashboard wants anyway).
+    * Returns (kept docs stream, session metrics stream). The scoring side
+    * is a stateless projection (runs at input rate, no state store); only
+    * the tiny metrics aggregate keeps state, bounded by the watermark.
+    */
+  def qualityGate(
+      docs: DataFrame, // streaming (doc_id: long, text: string, ts: timestamp, <keyCol>)
+      keyCol: String = "source",
+      minQuality: Double = 0.4,
+      gap: String = "5 minutes",
+      watermark: String = "10 minutes"
+  ): (DataFrame, DataFrame) = {
+    val scored = docs.withColumn("quality", graft.OpsQueries.qualityCol)
+    val kept = scored.filter(col("quality") >= minQuality)
+    val metrics = scored.withWatermark("ts", watermark)
+      .groupBy(col(keyCol), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= minQuality, 1L).otherwise(0L)).as("n_pass"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_docs"), col("n_pass"), col("avg_quality"))
+    (kept, metrics)
+  }
+
   /** Write the routed stream to per-route parquet sinks (K1/K2 analog):
     * one query, partitioned by route, exactly-once via checkpointed commits.
     */

@@ -215,6 +215,44 @@ class StreamingSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L)
   }
 
+  test("streaming quality gate: session windows split on the gap; scores match the batch formula") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts", "source")
+    // high quality: long, no stopwords; low: the stopword-heavy short text
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val bad = "the a the a the a"
+    val (kept, metrics) = StreamingPipeline.qualityGate(docs, gap = "5 minutes")
+    // session-window streaming aggregation emits in APPEND mode only:
+    // a session row appears once the watermark passes its close
+    val qm = metrics.writeStream.format("memory").queryName("qg_metrics")
+      .outputMode(OutputMode.Append).start()
+    val qk = kept.writeStream.format("memory").queryName("qg_kept")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, good, ts("2025-12-28T10:00:00Z"), "feedA"),
+        (2L, bad, ts("2025-12-28T10:02:00Z"), "feedA"),  // same session (gap < 5 min)
+        (3L, good, ts("2025-12-28T11:00:00Z"), "feedA")) // new session after the gap
+      qm.processAllAvailable(); qk.processAllAvailable()
+      // advance the watermark past both sessions' close (wm = 12:00 − 10m)
+      mem.addData((9L, good, ts("2025-12-28T12:00:00Z"), "feedB"))
+      qm.processAllAvailable(); qk.processAllAvailable()
+      // The gate keeps exactly the good docs (the batch formula: the
+      // bad doc scores 0 — all-stopword text).
+      spark.table("qg_kept").select("doc_id").collect()
+        .map(_.getLong(0)).sorted shouldBe Array(1L, 3L, 9L)
+      val sessions = spark.table("qg_metrics")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toString,
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._2)
+      sessions shouldBe Array(
+        ("feedA", "2025-12-28T10:00:00Z", 2L, 1L), // docs 1+2, only 1 passes
+        ("feedA", "2025-12-28T11:00:00Z", 1L, 1L))
+    } finally { qm.stop(); qk.stop() }
+  }
+
   test("streaming windowed counts equal the batch rollup on identical data") {
     implicit val sqlCtx = spark.sqlContext
     import graft.gen.TranscriptGen
