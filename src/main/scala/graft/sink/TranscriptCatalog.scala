@@ -78,6 +78,17 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /** True iff `table` carries the file committer's `_SUCCESS` marker — the
+    * write that produced it COMMITTED. `exists` alone cannot distinguish a
+    * committed table from the `_temporary` debris of a crashed write, and
+    * a recovery path that trusts debris rebuilds from partial data.
+    */
+  def committed(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${path(table)}/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
   /** Names of `table`'s data files (recursive; FS metadata only, commit
     * markers and hidden files excluded). Used by format-migration checks.
     */

@@ -197,11 +197,13 @@ object StreamingPipeline {
     * CRASH-SAFE AND RESUMABLE (round-4 advice, high — this runs inside
     * foreachBatch, exactly where retries are the norm). Protocol:
     *  1. `StoreFormatMarker` exists → done (clean up any leftover stage).
-    *  2. A stage table exists → a previous attempt crashed mid-migration:
-    *     RESUME from the stage (never re-detect by file names — after the
-    *     store delete the names would read "empty = not legacy" and the
-    *     whole dedup history would silently vanish, the failure mode the
-    *     advice flagged).
+    *  2. A COMMITTED stage (`_SUCCESS`) exists → a previous attempt
+    *     crashed mid-migration: RESUME from the stage (never re-detect by
+    *     file names — after the store delete the names would read "empty =
+    *     not legacy" and the whole dedup history would silently vanish,
+    *     the failure mode the advice flagged). An UNCOMMITTED stage is
+    *     debris of a crash mid-staging — the store is still intact then,
+    *     so the debris is dropped and staging restarts.
     *  3. Fresh entry: if the store isn't legacy, write the marker and
     *     stop. Otherwise stage ALL store rows with OVERWRITE (idempotent
     *     on retry), then: delete store → rebuild bucketed from stage →
@@ -226,8 +228,15 @@ object StreamingPipeline {
       catalog.deleteTable(stage)
       return false
     }
-    val resuming = catalog.exists(stage)
+    // The stage is authoritative only if its write COMMITTED (_SUCCESS):
+    // a crash MID-staging leaves partial stage files, and resuming from
+    // them would rebuild a truncated store. In that window the original
+    // store is still intact (its delete only happens after the staging
+    // write returns), so the partial stage is dropped and staging restarts
+    // from the store.
+    val resuming = catalog.committed(stage)
     if (!resuming) {
+      if (catalog.exists(stage)) catalog.deleteTable(stage)
       val files = catalog.dataFileNames(IncrementalDedup.StoreTable)
       val legacy = files.nonEmpty && !files.exists(_.matches(""".*_\d{5}\..*"""))
       if (!legacy) {

@@ -68,6 +68,21 @@ class CatalogMigrationSpec extends SparkSpecBase {
     catalog.read("docs_kept").count() shouldBe 0L
   }
 
+  test("crash MID-staging (uncommitted stage debris): retry restages from the intact store") {
+    val (out, catalog) = legacyStore("mig-crash-midstage")
+    // Simulate a crashed staging write: partial stage files, no _SUCCESS.
+    catalog.overwritePartitions(catalog.read(Store).limit(1), Stage, Nil)
+    val success = new org.apache.hadoop.fs.Path(s"$out/$Stage/_SUCCESS")
+    success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(success, false)
+    catalog.committed(Stage) shouldBe false
+    StreamingPipeline.migrateLegacyNeardupStore(spark, out, storeBuckets = 4) shouldBe true
+    // The full history survived — the truncated debris was NOT trusted.
+    storeDocIds(catalog) shouldBe Seq(1L)
+    catalog.read(Store).count() shouldBe 2L
+    catalog.listPartitionValues("batches", "batch_id") shouldBe Seq("0")
+  }
+
   test("crash after a partial rebuild: retry wipes the partial store and converges") {
     val (out, catalog) = legacyStore("mig-crash-partial")
     catalog.overwritePartitions(catalog.read(Store), Stage, Nil)
