@@ -136,9 +136,10 @@ object Similarity {
       queryId: Long,
       k: Int,
       nCells: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      modelOpt: Option[IvfModel] = None
   ): DataFrame = {
-    val model = buildIvfModel(e, nCells)
+    val model = modelOpt.getOrElse(buildIvfModel(e, nCells))
     val qv = e.filter(col("vec_id") === queryId).select("v")
       .collect()(0).getSeq[Double](0).toArray
     val qn = math.sqrt(qv.map(x => x * x).sum)
