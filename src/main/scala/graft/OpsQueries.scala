@@ -476,6 +476,33 @@ object OpsQueries {
           round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    // --- ANN5: QUANTIZED brute-force top-k — search in the int8 domain
+    //     (the serving-side memory/SIMD play: 4× smaller vectors). With
+    //     emb_quantize's SYMMETRIC per-vector scale, the scales cancel out
+    //     of the cosine entirely: cos_q = dotInt(qa,qb) /
+    //     (sqrt(dotInt(qa,qa))·sqrt(dotInt(qb,qb))) — a pure
+    //     integer-domain computation (int products ≤ 127², sums ≤ ~10⁶:
+    //     exact in both engines), so the oracle is exact, not approximate.
+    //     QuantizedAnnSpec asserts recall vs the exact float top-k. ---
+    "ann_topk_quantized" -> ((s: SparkSession, dir: String) => {
+      val q = emb(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("scale",
+          expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12) / 127.0"))
+        .select(col("vec_id"),
+          expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))").as("qv"))
+      val qdot = (a: String, b: String) =>
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      val query = q.filter(col("vec_id") === 0).select(col("qv").as("qq"))
+      q.filter(col("vec_id") =!= 0).crossJoin(broadcast(query))
+        .withColumn("cos_q",
+          qdot("qv", "qq").cast("double") /
+            (sqrt(qdot("qv", "qv").cast("double")) * sqrt(qdot("qq", "qq").cast("double"))))
+        .orderBy(col("cos_q").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("cos_q"), 6).as("cos_q"))
+    }),
+
     // --- CORPUS: the end-to-end training-corpus build — the composition a
     //     real data pipeline runs nightly: quality-filter → exact dedup
     //     (keep min doc per content hash) → near-dup CLUSTER resolution
@@ -1033,6 +1060,21 @@ object OpsQueries {
       "ann_ivf_exhaustive" -> bruteTopkSql,
       "ann_ivf_topk" -> ivfTopkSql,
       "ann_ivf_multiquery" -> ivfMultiSql,
+      // Integer-domain cosine: the per-vector scales cancel, and int
+      // products/sums are exactly representable in DOUBLE, so both
+      // engines compute identical values.
+      "ann_topk_quantized" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale FROM e),
+          |q AS (SELECT vec_id,
+          |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS qv FROM s),
+          |qq AS (SELECT qv AS query FROM q WHERE vec_id = 0)
+          |SELECT q.vec_id,
+          |  round(list_dot_product(q.qv, qq.query) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(qq.query, qq.query))), 6) AS cos_q
+          |FROM q, qq WHERE q.vec_id <> 0
+          |ORDER BY list_dot_product(q.qv, qq.query) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(qq.query, qq.query))) DESC, q.vec_id ASC
+          |LIMIT 10""".stripMargin.replace("\n", " "),
       "ann_lsh_buckets" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
            |SELECT vec_id, ${Lsh.bucketSqlDuck("v", LshBits)} AS bucket FROM e""".stripMargin.replace("\n", " "),
