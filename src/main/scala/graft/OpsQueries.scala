@@ -831,6 +831,25 @@ object OpsQueries {
         budget = 512, blockSize = 25, maxTopRows = 8)
     }),
 
+    // --- TX12: token-budget data mixing — the pretraining-mix pass that
+    //     caps each language's contribution at a TOKEN budget (not a doc
+    //     count): docs are taken in stable doc_id order until the
+    //     language's running token total reaches its budget. The running
+    //     total is SequencePack's KEYED hierarchical prefix sum — the
+    //     scale-correct replacement for `sum() OVER (PARTITION BY lang
+    //     ORDER BY doc_id)`, which at 5 constant language values sorts
+    //     1/5th of the corpus in one task. Forced through two recursion
+    //     levels at the oracle gate (blockSize 25 / maxTopRows 8). ---
+    "tx_mix_budget" -> ((s: SparkSession, dir: String) => {
+      val budget = when(col("lang") === "en", lit(6000L)).otherwise(lit(2000L))
+      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).as("tokens"))
+      graft.ops.SequencePack.exclusivePrefixSum(toks, "doc_id", "tokens",
+          "lang_cum", blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
+        .filter(col("lang_cum") < budget)
+        .select(col("doc_id"), col("lang"), col("tokens"), col("lang_cum"))
+    }),
+
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
     "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
       docs(s, dir).select(
@@ -1266,6 +1285,14 @@ object OpsQueries {
           |  CAST(least(cum_excl + tokens, (pack_id + 1) * 512) - greatest(cum_excl, pack_id * 512) AS BIGINT) AS seg_len,
           |  CAST(greatest(cum_excl, pack_id * 512) - pack_id * 512 AS BIGINT) AS pack_pos
           |FROM u""".stripMargin.replace("\n", " "),
+      "tx_mix_budget" ->
+        """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS tokens FROM documents),
+          |c AS (SELECT doc_id, lang, tokens,
+          |  coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |  FROM t)
+          |SELECT doc_id, lang, CAST(tokens AS INT) AS tokens,
+          |  CAST(cum AS BIGINT) AS lang_cum
+          |FROM c WHERE cum < CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
       "mm_frame_sample" ->

@@ -23,11 +23,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object SequencePack {
 
-  /** `df` + `outCol` = exclusive prefix sum of `valueCol` in `idCol` order.
-    * `idCol` must be unique and non-negative (block = id div blockSize must
-    * be monotone in id). Each recursion level materializes its (small)
-    * block-totals table — `reliable` swaps the localCheckpoint for a
-    * reliable checkpoint (see [[Materialize]]) on long cluster jobs.
+  /** `df` + `outCol` = exclusive prefix sum of `valueCol` in `idCol` order,
+    * independently per `keyCols` group (empty = one global stream).
+    * `idCol` must be unique and non-negative within a group (block =
+    * id div blockSize must be monotone in id). The keyed form replaces the
+    * classic `Window.partitionBy(key).orderBy(id)` cumulative sum, which
+    * at a low-cardinality key sorts a whole group in ONE task: here every
+    * window is additionally block-partitioned, so no task ever sorts more
+    * than a block (data level) or `maxTopRows` block totals per key (top
+    * level). Each recursion level materializes its (small) block-totals
+    * table — `reliable` swaps the localCheckpoint for a reliable
+    * checkpoint (see [[Materialize]]) on long cluster jobs.
     */
   def exclusivePrefixSum(
       df: DataFrame,
@@ -37,6 +43,7 @@ object SequencePack {
       blockSize: Long,
       maxTopRows: Long = 4096,
       reliable: Boolean = false,
+      keyCols: Seq[String] = Nil,
       level: Int = 0
   ): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
@@ -46,31 +53,44 @@ object SequencePack {
     // Integral `div`, not double division + cast: ids beyond 2^53 would
     // lose exactness through a double.
     val withBlock = df.withColumn(blk, expr(s"`$idCol` div $blockSize"))
-    // Materialized so the row count probe and the offsets join below both
+    // Materialized so the row count probes and the offsets join below all
     // read stored rows instead of re-running the aggregation.
     val totals = Materialize.stable(
-      withBlock.groupBy(blk).agg(sum(col(valueCol)).cast("bigint").as(tot)),
+      withBlock.groupBy((keyCols :+ blk).map(col): _*)
+        .agg(sum(col(valueCol)).cast("bigint").as(tot)),
       reliable)
-    val nBlocks = totals.count()
+    // Recursion bound = the largest per-key block count (a global count
+    // would let one huge key hide behind many small ones). nTotal drives
+    // the broadcast decision — per-key bounds don't cap the key count.
+    val nTotal = totals.count()
+    val maxPerKey =
+      if (keyCols.isEmpty) nTotal
+      else totals.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(max("__n")).head.getLong(0)
     val (offsets, smallTop) =
-      if (nBlocks <= maxTopRows) {
-        // Bounded by construction: the one single-partition window runs
-        // over at most maxTopRows rows.
-        val w = Window.orderBy(blk).rowsBetween(Window.unboundedPreceding, -1)
+      if (maxPerKey <= maxTopRows) {
+        // Bounded by construction: each task's window sees at most
+        // maxTopRows block totals of one key.
+        val w = (if (keyCols.isEmpty) Window.partitionBy()
+                 else Window.partitionBy(keyCols.map(col): _*))
+          .orderBy(blk).rowsBetween(Window.unboundedPreceding, -1)
         (totals.withColumn(off, coalesce(sum(tot).over(w), lit(0L))), true)
       } else {
         (exclusivePrefixSum(
-          totals, blk, tot, off, blockSize, maxTopRows, reliable, level + 1),
+          totals, blk, tot, off, blockSize, maxTopRows, reliable,
+          keyCols, level + 1),
           false)
       }
-    val offSel = offsets.select(col(blk), col(off))
-    // The offsets table is broadcast only when it is top-level small; a
-    // deeper level's block table can be arbitrarily large and joins by
-    // hash exchange like any other big-big equi-join.
+    val joinCols = keyCols :+ blk
+    val offSel = offsets.select((joinCols :+ off).map(col): _*)
+    // The offsets table is broadcast only when it is small in TOTAL rows;
+    // a large level joins by hash exchange like any other big-big
+    // equi-join.
     val joined =
-      if (smallTop) withBlock.join(broadcast(offSel), Seq(blk))
-      else withBlock.join(offSel, Seq(blk))
-    val wIn = Window.partitionBy(blk).orderBy(idCol)
+      if (smallTop && nTotal <= math.max(maxTopRows, 4096))
+        withBlock.join(broadcast(offSel), joinCols)
+      else withBlock.join(offSel, joinCols)
+    val wIn = Window.partitionBy(joinCols.map(col): _*).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     joined
       .withColumn(outCol,

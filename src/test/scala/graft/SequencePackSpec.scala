@@ -86,6 +86,29 @@ class SequencePackSpec extends SparkSpecBase {
     tiled shouldBe 0L
   }
 
+  test("KEYED prefix sum equals the per-key sequential window, with skewed keys and recursion") {
+    // 3 keys with very different sizes (400 / 90 / 10 rows) — the per-key
+    // recursion bound must trigger on the big key even though the total
+    // block count per level looks harmless.
+    val keyed = spark.range(0, 500).toDF("doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") < 400, lit("a"))
+          .when(col("doc_id") < 490, lit("b")).otherwise(lit("c")).as("k"),
+        (pmod(hash(col("doc_id")), lit(40)) + 1).cast("int").as("tokens"))
+      .localCheckpoint()
+    val w = Window.partitionBy("k").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = keyed
+      .withColumn("cum", coalesce(sum("tokens").over(w), lit(0L)))
+      .select("doc_id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SequencePack.exclusivePrefixSum(keyed, "doc_id", "tokens",
+        "cum", blockSize = 4, maxTopRows = 8, keyCols = Seq("k"))
+      .select("doc_id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
   test("zero-valued rows never emit split segments but shift nothing") {
     val withZero = Seq((0L, 5), (1L, 0), (2L, 3)).toDF("doc_id", "tokens")
     val segs = SequencePack.packSplit(withZero, "doc_id", "tokens",
