@@ -26,7 +26,8 @@ object SequencePack {
   /** `df` + `outCol` = exclusive prefix sum of `valueCol` in `idCol` order,
     * independently per `keyCols` group (empty = one global stream).
     * `idCol` must be unique and non-negative within a group (block =
-    * id div blockSize must be monotone in id). The keyed form replaces the
+    * id div blockSize must be monotone in id), and key values must be
+    * non-null (the offsets attach by equi-join, which drops null keys). The keyed form replaces the
     * classic `Window.partitionBy(key).orderBy(id)` cumulative sum, which
     * at a low-cardinality key sorts a whole group in ONE task: here every
     * window is additionally block-partitioned, so no task ever sorts more
