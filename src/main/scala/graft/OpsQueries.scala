@@ -196,6 +196,19 @@ object OpsQueries {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
+  /** Word-n-gram length for the containment decontamination family. */
+  private val DecontamN = 8
+
+  /** (doc_id, gh) — distinct md5 hashes of each doc's `DecontamN`-grams.
+    * Shared by dd_decontam_ngram and the corpus_export composition.
+    */
+  private def gramHashes(df: DataFrame, n: Int = DecontamN): DataFrame =
+    df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> md5(concat_ws(' ', slice(ws, i, $n)))))"))
+        .as("gh"))
+
   /** Default LSH/banding parameters for the oracle-checked queries. The
     * knobs themselves (bits, bands, rows) are caller-set on Lsh/MinHash —
     * ParamSpec exercises other settings.
@@ -312,13 +325,6 @@ object OpsQueries {
     //     the eval gram-hash set persists bucketed by hash (the signature-
     //     store pattern) so nightly runs join it exchange-free. ---
     "dd_decontam_ngram" -> ((s: SparkSession, dir: String) => {
-      val n = 8
-      def gramHashes(df: DataFrame): DataFrame =
-        df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .filter(size(col("ws")) >= n)
-          .select(col("doc_id"), explode(expr(
-            s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> md5(concat_ws(' ', slice(ws, i, $n)))))"))
-            .as("gh"))
       val d = docs(s, dir)
       // doc_id is a stored column, so both filters push to the scan — the
       // lazy-column pushdown-substitution trap does not apply here.
@@ -589,6 +595,48 @@ object OpsQueries {
       res
     }),
 
+    // --- CORPUS3: the full TRAINING-DATA EXPORT — every release-pipeline
+    //     stage composed into ONE oracle-checkable query: quality gate →
+    //     exact dedup → transitive near-dup resolution (train split,
+    //     doc_id < 450) → n-gram decontamination against the eval split
+    //     (doc_id >= 450) → per-language token-budget mixing → global
+    //     sequence packing. Each stage reuses the catalog primitive it is
+    //     oracled on individually (qualityCol, corpusKeepIds + the shared
+    //     pair frame, gramHashes, the keyed + global hierarchical prefix
+    //     sums); text never joins anything after the first projection —
+    //     every downstream stage moves only ids, hashes, and token
+    //     counts. Output: one row per exported doc with its pack slot. ---
+    "corpus_export" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") < 450)
+      val meta = train.withColumn("quality", qualityCol)
+        .filter(col("quality") >= 0.4)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val kept = corpusKeepIds(meta, docShingles(s, dir),
+        pairsAll = Some(docPairs(s, dir)))
+      val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
+        .select("gh").distinct()
+      val contaminated = gramHashes(train)
+        .join(kept, Seq("doc_id"), "left_semi")
+        .join(evalGrams, Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      val budget = when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
+      val toks = d.select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).as("tokens"))
+        .join(clean, Seq("doc_id"), "left_semi")
+      val mixed = graft.ops.SequencePack.exclusivePrefixSum(toks,
+          "doc_id", "tokens", "lang_cum",
+          blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
+        .filter(col("lang_cum") < budget)
+        .select("doc_id", "lang", "tokens")
+      graft.ops.SequencePack.exclusivePrefixSum(mixed,
+          "doc_id", "tokens", "gcum", blockSize = 25, maxTopRows = 8)
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          expr("gcum div 512").as("pack_id"),
+          pmod(col("gcum"), lit(512L)).as("pack_pos"))
+    }),
+
     // --- TX1: quality scoring (length / stopword ratios) ---
     "tx_quality" -> ((s: SparkSession, dir: String) => {
       val ws = split(lower(col("text")), " ")
@@ -829,6 +877,30 @@ object OpsQueries {
         size(split(lower(col("text")), " ")).as("tokens"))
       graft.ops.SequencePack.packSplit(toks, "doc_id", "tokens",
         budget = 512, blockSize = 25, maxTopRows = 8)
+    }),
+
+    // --- TX13: repetition-based quality filtering (the Gopher/C4 family):
+    //     duplicate-word and duplicate-bigram fractions per doc — the
+    //     cheap structural signal that catches boilerplate, keyword
+    //     stuffing, and looped generations. Pure array folds, no shuffle;
+    //     the flag compares the ROUNDED fractions so an engine rounding
+    //     difference can never flip it. ---
+    "tx_repetition" -> ((s: SparkSession, dir: String) => {
+      val ws = split(lower(col("text")), " ")
+      val nw = size(ws)
+      val dupWord =
+        round(lit(1.0) - size(array_distinct(ws)).cast("double") / nw, 6)
+      val bi = expr(
+        "transform(sequence(1, size(split(lower(text), ' ')) - 1), " +
+          "i -> concat_ws(' ', element_at(split(lower(text), ' '), i), element_at(split(lower(text), ' '), i + 1)))")
+      val dupBigram = when(nw >= 2,
+        round(lit(1.0) - size(array_distinct(bi)).cast("double") / (nw - 1), 6))
+        .otherwise(lit(0.0))
+      docs(s, dir)
+        .select(col("doc_id"), dupWord.as("dup_word_frac"),
+          dupBigram.as("dup_bigram_frac"))
+        .withColumn("is_repetitive",
+          col("dup_bigram_frac") > 0.2 || col("dup_word_frac") > 0.6)
     }),
 
     // --- TX12: token-budget data mixing — the pretraining-mix pass that
@@ -1285,6 +1357,66 @@ object OpsQueries {
           |  CAST(least(cum_excl + tokens, (pack_id + 1) * 512) - greatest(cum_excl, pack_id * 512) AS BIGINT) AS seg_len,
           |  CAST(greatest(cum_excl, pack_id * 512) - pack_id * 512 AS BIGINT) AS pack_pos
           |FROM u""".stripMargin.replace("\n", " "),
+      "tx_repetition" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |b AS (SELECT doc_id, ws,
+          |  list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]) AS bi FROM w),
+          |f AS (SELECT doc_id,
+          |  round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_frac,
+          |  CASE WHEN len(ws) >= 2
+          |    THEN round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / (len(ws) - 1), 6)
+          |    ELSE 0.0 END AS dup_bigram_frac
+          |  FROM b)
+          |SELECT doc_id, dup_word_frac, dup_bigram_frac,
+          |  (dup_bigram_frac > 0.2 OR dup_word_frac > 0.6) AS is_repetitive
+          |FROM f""".stripMargin.replace("\n", " "),
+      "corpus_export" ->
+        s"""WITH RECURSIVE
+           |tr AS (SELECT * FROM documents WHERE doc_id < 450),
+           |q0 AS (SELECT doc_id, text, lang,
+           |  least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) *
+           |  (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))) AS quality
+           |  FROM tr),
+           |q AS (SELECT * FROM q0 WHERE quality >= 0.4),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |k1 AS (SELECT q.doc_id, q.text FROM q JOIN ek USING (doc_id)),
+           |tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM k1),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |pairs AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+           |edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db AS src, da AS dst FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |kept AS (SELECT k1.doc_id FROM k1 LEFT JOIN comp c ON c.id = k1.doc_id
+           |         WHERE c.rep IS NULL OR c.rep = k1.doc_id),
+           |w8 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, len(ws) - 7),
+           |    i -> md5(array_to_string(ws[i:i+7], ' '))))) AS gh
+           |  FROM w8 WHERE len(ws) >= 8),
+           |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id >= 450),
+           |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN kept USING (doc_id) JOIN ev USING (gh)),
+           |clean AS (SELECT kept.doc_id FROM kept LEFT JOIN cont ON kept.doc_id = cont.doc_id
+           |          WHERE cont.doc_id IS NULL),
+           |mt AS (SELECT d.doc_id, d.lang, len(string_split(lower(d.text), ' ')) AS tokens
+           |       FROM documents d JOIN clean USING (doc_id)),
+           |mc AS (SELECT doc_id, lang, tokens,
+           |  coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lcum
+           |  FROM mt),
+           |mixed AS (SELECT doc_id, lang, tokens FROM mc
+           |          WHERE lcum < CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END),
+           |pc AS (SELECT doc_id, lang, tokens,
+           |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gcum
+           |  FROM mixed)
+           |SELECT doc_id, lang, CAST(tokens AS INT) AS tokens,
+           |  CAST(gcum // 512 AS BIGINT) AS pack_id,
+           |  CAST(gcum % 512 AS BIGINT) AS pack_pos
+           |FROM pc""".stripMargin.replace("\n", " "),
       "tx_mix_budget" ->
         """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS tokens FROM documents),
           |c AS (SELECT doc_id, lang, tokens,
