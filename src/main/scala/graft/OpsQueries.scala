@@ -196,18 +196,13 @@ object OpsQueries {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
-  /** Word-n-gram length for the containment decontamination family. */
-  private val DecontamN = 8
-
-  /** (doc_id, gh) — distinct md5 hashes of each doc's `DecontamN`-grams.
-    * Shared by dd_decontam_ngram and the corpus_export composition.
+  /** (doc_id, gh) — distinct md5 hashes of each doc's 8-grams (THE one
+    * tokenizer convention for the containment-decontamination family,
+    * graft.ops.Decontam). Shared by dd_decontam_ngram, corpus_export,
+    * and the persisted-store gate.
     */
-  private def gramHashes(df: DataFrame, n: Int = DecontamN): DataFrame =
-    df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> md5(concat_ws(' ', slice(ws, i, $n)))))"))
-        .as("gh"))
+  private def gramHashes(df: DataFrame): DataFrame =
+    graft.ops.Decontam.gramHashes(df, "text")
 
   /** Default LSH/banding parameters for the oracle-checked queries. The
     * knobs themselves (bits, bands, rows) are caller-set on Lsh/MinHash —
