@@ -357,6 +357,94 @@ object StreamingPipeline {
     (kept, metrics)
   }
 
+  /** The STREAMING EXPORT SINK — corpus_export's release pipeline running
+    * incrementally per micro-batch, composed from the same primitives:
+    * quality gate (shared qualityCol) → exact dedup within the batch →
+    * cross-batch near-dup drop via the bucketed signature store →
+    * transitive within-batch resolution (CC, hot-bucket cap available) →
+    * n-gram decontamination against the persisted eval-gram store
+    * (graft.ops.Decontam) → cross-batch sequence packing
+    * (graft.ops.IncrementalPack) → survivors appended to `docs_export`.
+    *
+    * Crash ordering (the marker is the commit point, as everywhere):
+    * docs_export → INCREMENTAL PACK (self-committing) → signatures →
+    * export marker. The pack MUST commit before the signature append: a
+    * replay that finds the batch's own signatures in the store keeps
+    * NOTHING, so any work the replay is still responsible for has to be
+    * idempotently committed (pack marker) or harmless to re-append
+    * (docs, deduplicated by unique doc_id) before the signatures land.
+    */
+  def processExportBatch(
+      batch: DataFrame, // streaming micro-batch (doc_id: long, text: string)
+      batchId: Long,
+      catalogRoot: String,
+      bands: Int = 2,
+      rows: Int = 1,
+      minQuality: Double = 0.4,
+      budget: Int = 512,
+      packBlockSize: Long = 10000,
+      storeBuckets: Int = 16,
+      maxBucket: Option[Int] = None
+  ): Unit = {
+    import graft.ops.{ConnectedComponents, Decontam, IncrementalDedup, IncrementalPack, MinHash}
+    import graft.sink.TranscriptCatalog
+    val spark = batch.sparkSession
+    val catalog = new TranscriptCatalog(catalogRoot, spark)
+    if (catalog.listPartitionValues("export_batches", "batch_id")
+          .contains(batchId.toString)) return
+    val q = batch.withColumn("__quality", graft.OpsQueries.qualityCol)
+      .filter(col("__quality") >= minQuality)
+      .drop("__quality")
+    val exactKeep = q.groupBy(md5(col("text")).as("__h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val tok = IncrementalDedup.shingles(
+      q.join(exactKeep, Seq("doc_id"), "left_semi"), "text")
+    val store = IncrementalDedup.signatureStore(catalog, storeBuckets)
+    val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
+      tok, store, "doc_id", "toks", bands, rows)
+    val pairs = MinHash.candidatePairs(
+      kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows,
+      maxBucket = maxBucket)
+    val dropWithin = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val deduped = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
+    val contaminated = Decontam.contaminatedIds(
+      deduped, Decontam.evalGramStore(catalog, storeBuckets))
+    val clean = graft.ops.Materialize.stable(
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "text"), reliable = false)
+    catalog.append(
+      clean.withColumn("batch_id", lit(batchId)), "docs_export")
+    IncrementalPack.processBatch(catalog,
+      clean.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("tokens")),
+      batchId, budget, packBlockSize)
+    val keptSigs = keptSigs0
+      .join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
+    IncrementalDedup.appendSignatures(catalog, keptSigs, batchId, storeBuckets)
+    // COMMIT POINT
+    catalog.append(
+      spark.range(1).select(lit(batchId).as("batch_id"), lit(1).as("one")),
+      "export_batches", Seq("batch_id"))
+  }
+
+  /** `processExportBatch` as a foreachBatch stream sink. */
+  def exportSink(
+      docs: DataFrame,
+      catalogRoot: String,
+      checkpoint: String,
+      budget: Int = 512,
+      maxBucket: Option[Int] = None
+  ): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processExportBatch(batch, batchId, catalogRoot,
+          budget = budget, maxBucket = maxBucket)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Write the routed stream to per-route parquet sinks (K1/K2 analog):
     * one query, partitioned by route, exactly-once via checkpointed commits.
     */

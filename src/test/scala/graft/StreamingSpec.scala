@@ -253,6 +253,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally { qm.stop(); qk.stop() }
   }
 
+  test("streaming export sink: quality, dedup, decontamination, and pack continuity across batches") {
+    import graft.ops.{Decontam, IncrementalPack, SequencePack}
+    import graft.sink.TranscriptCatalog
+    val out = tmpDir("stream-export")
+    val catalog = new TranscriptCatalog(out, spark)
+    val evalS = "the secret eval answer is exactly forty two point five units"
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> evalS).toDF("doc_id", "text"), nBuckets = 4)
+    val textX = (1 to 60).map(i => s"x$i").mkString(" ")
+    val textY = (1 to 60).map(i => s"y$i").mkString(" ")
+    val b0 = Seq(
+      1L -> textX,                                  // kept + packed
+      2L -> "the a the a the a",                    // quality-dropped
+      3L -> s"padding words before $evalS and after" // decontaminated
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      10L -> (textX + " tail"),                     // near-dup of doc 1 via store
+      11L -> textY                                  // kept + packed, continuing
+    ).toDF("doc_id", "text")
+    StreamingPipeline.processExportBatch(b0, 0L, out, budget = 64, storeBuckets = 4)
+    StreamingPipeline.processExportBatch(b1, 1L, out, budget = 64, storeBuckets = 4)
+    catalog.read("docs_export").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 11L)
+    // Pack slots equal ONE pack run over the kept docs in order.
+    val expected = SequencePack.pack(
+        Seq(1L -> textX, 11L -> textY).toDF("doc_id", "text")
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.expr("size(split(lower(text), ' '))").as("tokens")),
+        "doc_id", "tokens", budget = 64, blockSize = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val got = catalog.read(IncrementalPack.PacksTable)
+      .select("doc_id", "pack_id", "pack_pos").distinct()
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe expected
+    // Replay of a committed batch is a no-op on every table.
+    val nDocs = catalog.read("docs_export").count()
+    val nPacks = catalog.read(IncrementalPack.PacksTable).count()
+    StreamingPipeline.processExportBatch(b1, 1L, out, budget = 64, storeBuckets = 4)
+    catalog.read("docs_export").count() shouldBe nDocs
+    catalog.read(IncrementalPack.PacksTable).count() shouldBe nPacks
+  }
+
   test("streaming windowed counts equal the batch rollup on identical data") {
     implicit val sqlCtx = spark.sqlContext
     import graft.gen.TranscriptGen
