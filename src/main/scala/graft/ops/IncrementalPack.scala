@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * each daily run touches only its own batch.
   *
   * Crash semantics follow the streaming sink's marker protocol
-  * (graft.streaming.StreamingPipeline.processNeardupBatch): appends run
+  * (graft.streaming.StreamingPipeline.processNeardupBatch): writes run
   * packs → offsets → COMMIT MARKER (a partition directory of the tiny
   * `pack_batches` table). The base offset is read from the offsets of
   * committed batches ONLY, so a replay after a crash recomputes the same
-  * base, re-appends identical pack rows (doc_id is unique — readers
-  * dedupe trivially), and converges.
+  * base and — both tables being batch_id-partitioned dynamic OVERWRITES —
+  * REPLACES its own partitions with the identical recomputed rows
+  * (round-5 verdict item #1: exactly-once on every output, no
+  * reader-side dedup caveats).
   */
 object IncrementalPack {
 
@@ -30,9 +32,8 @@ object IncrementalPack {
     val committed = catalog.listPartitionValues(MarkerTable, "batch_id")
       .map(_.toLong).toSet
     if (committed.isEmpty || !catalog.exists(OffsetTable)) return 0L
-    // A replayed batch may have appended its offsets row twice; the row is
-    // deterministic (base + sum(tokens)), so duplicates agree and limit 1
-    // is safe for any committed batch id.
+    // batch_id is the offsets table's partition column, so this filter
+    // prunes to the one newest committed directory.
     val rows = catalog.read(OffsetTable)
       .filter(col("batch_id").isin(committed.toSeq: _*))
       .orderBy(col("batch_id").desc).limit(1)
@@ -40,10 +41,36 @@ object IncrementalPack {
     rows.headOption.map(_.getLong(0)).getOrElse(0L)
   }
 
+  /** Highest committed doc_id across all committed batches (None when no
+    * committed offsets carry one — empty store, or a store written before
+    * `max_doc` was recorded). Empty batches store Long.MinValue, which can
+    * never win the max against a real id.
+    */
+  private def committedMaxDoc(
+      catalog: graft.sink.TranscriptCatalog,
+      committed: Set[Long]
+  ): Option[Long] = {
+    if (committed.isEmpty || !catalog.exists(OffsetTable)) return None
+    val offsets = catalog.read(OffsetTable)
+    if (!offsets.columns.contains("max_doc")) return None
+    val r = offsets.filter(col("batch_id").isin(committed.toSeq: _*))
+      .agg(max(col("max_doc"))).head
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Pack one batch `(doc_id, tokens)` against the committed base and
     * commit it. Replaying a committed batchId is a no-op. Doc ids must be
     * unique across batches and each batch's ids ordered AFTER all
     * committed ones (the daily-ingest contract — ids are ingest-ordered).
+    *
+    * Both halves of that contract are ENFORCED, not trusted (round-5
+    * verdict item #5 — a violation silently corrupts pack offsets, the
+    * worst failure mode a pack store can have): a new `batchId` at or
+    * below the highest committed id fails fast, and a batch whose lowest
+    * doc_id does not exceed every committed batch's highest (tracked as
+    * `max_doc` in the offsets row) fails fast. An UNCOMMITTED replay of
+    * the in-flight batch id is untouched — the guards read committed
+    * state only.
     */
   def processBatch(
       catalog: graft.sink.TranscriptCatalog,
@@ -53,10 +80,33 @@ object IncrementalPack {
       blockSize: Long = 10000,
       maxTopRows: Long = 4096
   ): Unit = {
-    if (catalog.listPartitionValues(MarkerTable, "batch_id")
-          .contains(batchId.toString)) return
+    val committed = catalog.listPartitionValues(MarkerTable, "batch_id")
+      .map(_.toLong)
+    if (committed.contains(batchId)) return
+    if (committed.nonEmpty) {
+      val maxCommitted = committed.max
+      require(batchId > maxCommitted,
+        s"out-of-order pack batch: batchId=$batchId but batch $maxCommitted " +
+          "already committed — committedBase takes the HIGHEST committed " +
+          "batch's total, so an out-of-order commit would corrupt every " +
+          "later batch's pack offsets")
+    }
     val spark = batch.sparkSession
     val base = committedBase(catalog)
+    // One aggregate pass yields the commit row AND the contract probe.
+    val statsRow = batch.agg(
+      coalesce(sum(col("tokens").cast("bigint")), lit(0L)).as("tok"),
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head
+    val (batchTokens, minDoc, maxDoc) =
+      (statsRow.getLong(0),
+        if (statsRow.isNullAt(1)) None else Some(statsRow.getLong(1)),
+        if (statsRow.isNullAt(2)) None else Some(statsRow.getLong(2)))
+    for (lo <- minDoc; committedMax <- committedMaxDoc(catalog, committed.toSet))
+      require(lo > committedMax,
+        s"pack batch $batchId overlaps committed doc-id range: its lowest " +
+          s"doc_id $lo is not above the committed maximum $committedMax — " +
+          "incremental packing assumes ingest-ordered ids, and an overlap " +
+          "would interleave this batch's slots with already-packed docs")
     val packed = SequencePack.exclusivePrefixSum(
         batch.select("doc_id", "tokens"), "doc_id", "tokens", "cum",
         blockSize, maxTopRows)
@@ -65,13 +115,12 @@ object IncrementalPack {
         expr(s"gcum div $budget").as("pack_id"),
         pmod(col("gcum"), lit(budget.toLong)).as("pack_pos"),
         lit(batchId).as("batch_id"))
-    val batchTokens = batch.agg(
-      coalesce(sum(col("tokens").cast("bigint")), lit(0L))).head.getLong(0)
-    catalog.append(packed, PacksTable)
+    catalog.overwritePartitions(packed, PacksTable, Seq("batch_id"))
     import spark.implicits._
-    catalog.append(
-      Seq((batchId, base, base + batchTokens))
-        .toDF("batch_id", "base", "total_after"), OffsetTable)
+    catalog.overwritePartitions(
+      Seq((batchId, base, base + batchTokens, maxDoc.getOrElse(Long.MinValue)))
+        .toDF("batch_id", "base", "total_after", "max_doc"),
+      OffsetTable, Seq("batch_id"))
     // COMMIT POINT — the marker registers the batch id as a partition
     // directory (payload column required by the parquet writer).
     catalog.append(

@@ -29,6 +29,21 @@ object Similarity {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
+  /** Decimal places every Lloyd-refined centroid component is rounded to —
+    * in BOTH builds (driver model, DataFrame table) and in the DuckDB
+    * oracle mirror (`OpsQueries.ivfCentsSql`). The refined mean's double
+    * summation ORDER differs between engines (Spark partition-order
+    * partials vs sequential SQL sums), so unrounded centroids can differ
+    * by a ULP and flip a cell assignment or probe choice on a near-tie —
+    * a data-dependent flaky oracle (round-5 advice, low). Rounding to 6
+    * decimals puts the cross-engine agreement boundary ~10 orders of
+    * magnitude above ULP noise while leaving recall unmeasurably changed.
+    */
+  val CentroidScale = 6
+  private def roundCentroid(x: Double): Double =
+    BigDecimal(x).setScale(CentroidScale, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   /** dot(v, literal centroid) as a pure fold over an inlined array — no
     * join against a centroid table. typedLit, not array(lit...): the whole
     * centroid is ONE Literal node, so 16 centroids × 64 dims add 16 plan
@@ -107,7 +122,7 @@ object Similarity {
     val refined = stats.map { r =>
       val cell = r.getInt(0)
       val n = r.getLong(1).toDouble
-      cell -> Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+      cell -> Array.tabulate(dim)(i => roundCentroid(r.getDouble(2 + i) / n))
     }.sortBy(_._1)
     // Cells that lost every vector keep their seed centroid.
     val byCell = refined.toMap
@@ -215,7 +230,8 @@ object Similarity {
     val stats = assignCellBroadcast(e, seeds)
       .groupBy("cell").agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cell"),
-        array((0 until dim).map(i => col(s"s$i") / col("n")): _*).as("cv2"))
+        array((0 until dim).map(i =>
+          round(col(s"s$i") / col("n"), CentroidScale)): _*).as("cv2"))
     // Cells that lost every vector keep their seed centroid.
     Materialize.stable(
       seeds.join(stats, Seq("cell"), "left")

@@ -154,28 +154,49 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     val in = fs.open(p)
     val line = try scala.io.Source.fromInputStream(in).mkString.trim
     finally in.close()
-    val Array(cols, n) = line.split(";")
-    Some((cols.split(",").toSeq, n.toInt))
+    // Explicit parse with a descriptive error (round-5 advice, low): a
+    // corrupt spec must say so, not die as a bare MatchError that wedges
+    // every later registration with no hint at the cause.
+    line.split(";") match {
+      case Array(cols, n) if cols.nonEmpty && n.matches("""\d+""") =>
+        Some((cols.split(",").toSeq, n.toInt))
+      case _ => throw new IllegalStateException(
+        s"corrupt bucket spec for '$table' at $p (content: '$line'; expected " +
+          "'col1,col2;nBuckets') — delete the file and re-register, or " +
+          "restore it from the writer's bucket layout")
+    }
   }
 
   private def writeBucketSpec(table: String, bucketCols: Seq[String], nBuckets: Int): Unit = {
     val p = bucketSpecPath(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // Temp + atomic rename (round-5 advice, low): a crash mid-write must
+    // never leave a truncated spec — the reader either sees no spec (first
+    // writer re-creates it) or a complete one.
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s"._bucket_spec.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"${bucketCols.mkString(",")};$nBuckets".getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to commit bucket spec for '$table': rename $tmp -> $p")
   }
 
   /** Register `table` as an external bucketed parquet table (idempotent).
     * `schemaDdl` is the column list (bucketing DDL cannot infer schema);
     * bucket+sort columns and count must match every writer — enforced
     * against the persisted on-disk spec, not trusted from the caller.
+    * `partitionCols` adds directory partitioning ON TOP of the bucketing
+    * (each partition's files are bucketed; a scan across partitions still
+    * reports the bucket hash partitioning, so joins on the bucket columns
+    * stay exchange-free while partition-column filters prune directories).
     */
   def ensureBucketed(
       table: String,
       schemaDdl: String,
       bucketCols: Seq[String],
-      nBuckets: Int
+      nBuckets: Int,
+      partitionCols: Seq[String] = Nil
   ): String = {
     readBucketSpec(table) match {
       case Some((cols, n)) =>
@@ -188,12 +209,19 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     }
     val name = bucketedName(table)
     if (!spark.catalog.tableExists(name)) {
+      val partDdl =
+        if (partitionCols.isEmpty) ""
+        else s"PARTITIONED BY (${partitionCols.mkString(", ")})\n"
       spark.sql(
         s"""CREATE TABLE $name ($schemaDdl) USING parquet
-           |CLUSTERED BY (${bucketCols.mkString(", ")})
+           |${partDdl}CLUSTERED BY (${bucketCols.mkString(", ")})
            |SORTED BY (${bucketCols.mkString(", ")})
            |INTO $nBuckets BUCKETS
            |LOCATION '${path(table)}'""".stripMargin)
+      // A table created over pre-existing partition directories must
+      // discover them (datasource DDL does not scan for partitions).
+      if (partitionCols.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $name")
     }
     name
   }
@@ -207,14 +235,29 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
-      nBuckets: Int
-  ): Unit =
-    df.write
+      nBuckets: Int,
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
+    val w = df.write
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("append")
       .format("parquet")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .saveAsTable(bucketedName(table))
+  }
+
+  /** Drop one value of a bucketed table's partition column: catalog entry
+    * first (so a metastore-tracked partition never dangles over deleted
+    * files), then the directory. Used by versioned-store retraction.
+    */
+  def dropBucketedPartition(table: String, partitionCol: String, value: String): Unit = {
+    val name = bucketedName(table)
+    if (spark.catalog.tableExists(name))
+      spark.sql(
+        s"ALTER TABLE $name DROP IF EXISTS PARTITION ($partitionCol = '$value')")
+    dropPartitions(table, partitionCol, _ == value)
+  }
 
   /** Read a bucketed table THROUGH the session catalog (a plain
     * `spark.read.parquet` of the same files would silently drop the

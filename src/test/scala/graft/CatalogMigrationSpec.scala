@@ -65,7 +65,9 @@ class CatalogMigrationSpec extends SparkSpecBase {
     val doc10 = Seq(10L -> "the quick brown fox jumps over the lazy dog")
       .toDF("doc_id", "text")
     StreamingPipeline.processNeardupBatch(doc10, 1L, out, 2, 1, storeBuckets = 4)
-    catalog.read("docs_kept").count() shouldBe 0L
+    // nothing kept ⇒ the batch_id-partitioned overwrite wrote no data file
+    // (an empty dynamic overwrite touches no partition at all)
+    catalog.dataFileNames("docs_kept") shouldBe empty
   }
 
   test("crash MID-staging (uncommitted stage debris): retry restages from the intact store") {
@@ -138,5 +140,23 @@ class CatalogMigrationSpec extends SparkSpecBase {
     noException should be thrownBy catalog.ensureBucketed(
       Store, IncrementalDedup.StoreSchemaDdl,
       IncrementalDedup.StoreBucketCols, nBuckets = 4)
+  }
+
+  test("a corrupt bucket spec raises a descriptive error, not a MatchError") {
+    val out = tmpDir("bucket-spec-corrupt")
+    val catalog = new TranscriptCatalog(out, spark)
+    catalog.ensureBucketed(Store, IncrementalDedup.StoreSchemaDdl,
+      IncrementalDedup.StoreBucketCols, nBuckets = 4)
+    // Truncate the spec the way a crashed non-atomic write would have
+    // (the write itself is temp+rename now, so this is belt-and-braces).
+    val p = new org.apache.hadoop.fs.Path(s"$out/$Store/_bucket_spec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true); o.write("band_hash".getBytes("UTF-8")); o.close()
+    val err = intercept[IllegalStateException] {
+      catalog.ensureBucketed(Store, IncrementalDedup.StoreSchemaDdl,
+        IncrementalDedup.StoreBucketCols, nBuckets = 4)
+    }
+    err.getMessage should include("corrupt bucket spec")
+    err.getMessage should include(Store)
   }
 }

@@ -55,6 +55,77 @@ class DecontamSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  private val evalSentence2 =
+    "a corrected benchmark answer reads thirty seven degrees under pressure today"
+
+  test("republish replaces a set's grams: removed eval docs stop gating, new ones gate") {
+    val out = tmpDir("decontam-republish")
+    val catalog = new TranscriptCatalog(out, spark)
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> evalSentence).toDF("doc_id", "text"), nBuckets = 4, setId = "bench")
+    val train = Seq(
+      1L -> s"padding before $evalSentence padding after this page continues on",
+      2L -> s"padding before $evalSentence2 padding after this page continues on")
+      .toDF("doc_id", "text")
+    Decontam.contaminatedIds(train, Decontam.evalGramStore(catalog, 4))
+      .collect().map(_.getLong(0)) shouldBe Array(1L)
+    // The corrected set drops the old sentence and adds the new one —
+    // republish under the SAME id must remove the stale grams entirely.
+    Decontam.publishEvalSet(catalog,
+      Seq(901L -> evalSentence2).toDF("doc_id", "text"), nBuckets = 4, setId = "bench")
+    Decontam.contaminatedIds(train, Decontam.evalGramStore(catalog, 4))
+      .collect().map(_.getLong(0)) shouldBe Array(2L)
+    Decontam.committedSets(catalog) shouldBe Seq("bench")
+  }
+
+  test("retraction: a retracted set stops gating; other sets keep gating") {
+    val out = tmpDir("decontam-retract")
+    val catalog = new TranscriptCatalog(out, spark)
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> evalSentence).toDF("doc_id", "text"), nBuckets = 4, setId = "s1")
+    Decontam.publishEvalSet(catalog,
+      Seq(901L -> evalSentence2).toDF("doc_id", "text"), nBuckets = 4, setId = "s2")
+    val train = Seq(
+      1L -> s"padding before $evalSentence padding after this page continues on",
+      2L -> s"padding before $evalSentence2 padding after this page continues on")
+      .toDF("doc_id", "text")
+    Decontam.contaminatedIds(train, Decontam.evalGramStore(catalog, 4))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    Decontam.retractEvalSet(catalog, "s1", nBuckets = 4)
+    Decontam.committedSets(catalog) shouldBe Seq("s2")
+    Decontam.contaminatedIds(train, Decontam.evalGramStore(catalog, 4))
+      .collect().map(_.getLong(0)) shouldBe Array(2L)
+  }
+
+  test("a crashed (uncommitted) publish is invisible and the retry converges") {
+    val out = tmpDir("decontam-partial")
+    val catalog = new TranscriptCatalog(out, spark)
+    // Simulate a crash between the gram write and the manifest commit:
+    // grams on disk, no eval_sets marker.
+    catalog.ensureBucketed(Decontam.GramTable, Decontam.GramSchemaDdl,
+      Decontam.GramBucketCols, 4, Decontam.GramPartitionCols)
+    catalog.appendBucketed(
+      Decontam.gramHashes(Seq(900L -> evalSentence).toDF("doc_id", "text"), "text")
+        .select("gh").distinct()
+        .withColumn("set_id", org.apache.spark.sql.functions.lit("ghost")),
+      Decontam.GramTable, Decontam.GramBucketCols, 4, Decontam.GramPartitionCols)
+    val train = Seq(
+      1L -> s"padding before $evalSentence padding after this page continues on")
+      .toDF("doc_id", "text")
+    // uncommitted ⇒ invisible (the partial-publish gate) and detectable
+    Decontam.committedSets(catalog) shouldBe empty
+    Decontam.contaminatedIds(train, Decontam.evalGramStore(catalog, 4))
+      .count() shouldBe 0L
+    // the retry publishes cleanly (step 1 clears the partial partition —
+    // no duplicate grams) and the set gates
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> evalSentence).toDF("doc_id", "text"), nBuckets = 4, setId = "ghost")
+    val store = Decontam.evalGramStore(catalog, 4)
+    store.count() shouldBe store.select("gh").distinct().count()
+    Decontam.contaminatedIds(train, store)
+      .collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
   test("store gate equals the oracled dd_decontam_ngram on the real corpus") {
     val dir = "/root/testdata/sf0.01"
     val out = tmpDir("decontam-corpus")

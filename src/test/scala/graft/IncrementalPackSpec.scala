@@ -60,16 +60,50 @@ class IncrementalPackSpec extends SparkSpecBase {
         expr(s"gcum div $Budget").as("pack_id"),
         pmod(col("gcum"), lit(Budget.toLong)).as("pack_pos"),
         lit(1L).as("batch_id"))
-    catalog.append(packed, IncrementalPack.PacksTable)
+    catalog.overwritePartitions(packed, IncrementalPack.PacksTable, Seq("batch_id"))
     // The offsets row a real crashed attempt would have written — the
-    // total is deterministic (base + sum(tokens)), so the retry's
-    // duplicate row always AGREES with it.
+    // retry's batch_id-partitioned overwrite REPLACES it with the
+    // identical recomputed row.
     val b1Tokens = b1.agg(sum(col("tokens").cast("bigint"))).head.getLong(0)
-    catalog.append(Seq((1L, base, base + b1Tokens))
-      .toDF("batch_id", "base", "total_after"), IncrementalPack.OffsetTable)
+    catalog.overwritePartitions(Seq((1L, base, base + b1Tokens, 59L))
+      .toDF("batch_id", "base", "total_after", "max_doc"),
+      IncrementalPack.OffsetTable, Seq("batch_id"))
     // retry
     IncrementalPack.processBatch(catalog, b1, 1L, Budget, blockSize = 8)
     IncrementalPack.processBatch(catalog, batchDf(60 until 100), 2L, Budget, blockSize = 8)
     packsOf(catalog) shouldBe expectedWhole(0 until 100)
+    // exactly-once: the crash-replay left zero duplicate pack rows
+    val n = catalog.read(IncrementalPack.PacksTable).count()
+    n shouldBe catalog.read(IncrementalPack.PacksTable).distinct().count()
+    n shouldBe 100L
+  }
+
+  test("an out-of-order NEW batch id fails fast instead of corrupting offsets") {
+    val out = tmpDir("incpack-order")
+    val catalog = new TranscriptCatalog(out, spark)
+    IncrementalPack.processBatch(catalog, batchDf(0 until 30), 5L, Budget, blockSize = 8)
+    // a batch id BELOW the committed maximum is a contract violation —
+    // committedBase would silently pack it against batch 5's total
+    val err = intercept[IllegalArgumentException] {
+      IncrementalPack.processBatch(catalog, batchDf(30 until 40), 3L, Budget, blockSize = 8)
+    }
+    err.getMessage should include("out-of-order pack batch")
+    // the committed state is untouched and in-order progress still works
+    packsOf(catalog) shouldBe expectedWhole(0 until 30)
+    IncrementalPack.processBatch(catalog, batchDf(30 until 40), 6L, Budget, blockSize = 8)
+    packsOf(catalog) shouldBe expectedWhole(0 until 40)
+  }
+
+  test("a batch overlapping the committed doc-id range fails fast") {
+    val out = tmpDir("incpack-overlap")
+    val catalog = new TranscriptCatalog(out, spark)
+    IncrementalPack.processBatch(catalog, batchDf(0 until 30), 0L, Budget, blockSize = 8)
+    // doc 29 is already packed; re-sending it under a new batch id would
+    // silently interleave slots
+    val err = intercept[IllegalArgumentException] {
+      IncrementalPack.processBatch(catalog, batchDf(29 until 40), 1L, Budget, blockSize = 8)
+    }
+    err.getMessage should include("overlaps committed doc-id range")
+    packsOf(catalog) shouldBe expectedWhole(0 until 30)
   }
 }

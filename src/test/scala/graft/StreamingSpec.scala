@@ -155,6 +155,37 @@ class StreamingSpec extends SparkSpecBase {
       .listPartitionValues("batches", "batch_id") shouldBe Seq("0")
   }
 
+  test("docs_kept is exactly-once through every crash window (partition overwrite, no reader dedup)") {
+    import graft.sink.TranscriptCatalog
+    val out = tmpDir("stream-neardup-once")
+    val catalog = new TranscriptCatalog(out, spark)
+    val b0 = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    StreamingPipeline.processNeardupBatch(b0, 0L, out, 2, 1)
+    // Crash window A: a previous attempt of batch 1 wrote its docs_kept
+    // partition (here with a STALE extra row) and died before the
+    // signature append. The replay must REPLACE the partition — the stale
+    // row disappears instead of accumulating.
+    catalog.overwritePartitions(
+      Seq(10L -> "entirely novel content regarding duckdb oracle checks",
+        99L -> "a stale row from the crashed attempt that must vanish")
+        .toDF("doc_id", "text").withColumn("batch_id", lit(1L)),
+      "docs_kept", Seq("batch_id"))
+    val b1 = Seq(10L -> "entirely novel content regarding duckdb oracle checks")
+      .toDF("doc_id", "text")
+    StreamingPipeline.processNeardupBatch(b1, 1L, out, 2, 1)
+    spark.read.parquet(s"$out/docs_kept").select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 10L)
+    // Crash window B: batch 1 died AFTER its signature append but before
+    // the marker. The replay finds its own signatures, keeps nothing, and
+    // the empty dynamic overwrite must leave the committed docs intact.
+    catalog.dropPartitions("batches", "batch_id", _ == "1")
+    StreamingPipeline.processNeardupBatch(b1, 1L, out, 2, 1)
+    val docs = spark.read.parquet(s"$out/docs_kept")
+    docs.count() shouldBe 2L
+    docs.select("doc_id").distinct().count() shouldBe 2L
+  }
+
   test("pre-round-4 stores migrate: files re-bucketed, marker rows become batch markers") {
     import graft.ops.IncrementalDedup
     import graft.sink.TranscriptCatalog
@@ -173,7 +204,7 @@ class StreamingSpec extends SparkSpecBase {
         lit(-1L).as("doc_id"), lit(-1).as("band_idx"),
         lit(null).cast("string").as("band_hash"), lit(0L).as("batch_id")))
     catalog.append(legacySigs, "signatures")
-    catalog.append(doc1.withColumn("batch_id", lit(0L)), "docs_kept")
+    catalog.append(doc1.withColumn("batch_id", lit(0L)), "docs_kept", Seq("batch_id"))
 
     // A foreachBatch RETRY of the already-committed legacy batch must be a
     // no-op: migration back-fills batch 0's marker from the in-store rows.
@@ -274,7 +305,9 @@ class StreamingSpec extends SparkSpecBase {
     ).toDF("doc_id", "text")
     StreamingPipeline.processExportBatch(b0, 0L, out, budget = 64, storeBuckets = 4)
     StreamingPipeline.processExportBatch(b1, 1L, out, budget = 64, storeBuckets = 4)
-    catalog.read("docs_export").select("doc_id").distinct()
+    // exactly-once: plain reads, no .distinct() crutch — duplicates would
+    // fail these directly
+    catalog.read("docs_export").select("doc_id")
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 11L)
     // Pack slots equal ONE pack run over the kept docs in order.
     val expected = SequencePack.pack(
@@ -283,15 +316,24 @@ class StreamingSpec extends SparkSpecBase {
             org.apache.spark.sql.functions.expr("size(split(lower(text), ' '))").as("tokens")),
         "doc_id", "tokens", budget = 64, blockSize = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-    val got = catalog.read(IncrementalPack.PacksTable)
-      .select("doc_id", "pack_id", "pack_pos").distinct()
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    got shouldBe expected
+    val packRows = catalog.read(IncrementalPack.PacksTable)
+      .select("doc_id", "pack_id", "pack_pos")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    packRows.length shouldBe expected.size
+    packRows.toMap shouldBe expected
     // Replay of a committed batch is a no-op on every table.
     val nDocs = catalog.read("docs_export").count()
     val nPacks = catalog.read(IncrementalPack.PacksTable).count()
     StreamingPipeline.processExportBatch(b1, 1L, out, budget = 64, storeBuckets = 4)
     catalog.read("docs_export").count() shouldBe nDocs
+    catalog.read(IncrementalPack.PacksTable).count() shouldBe nPacks
+    // Crash-replay of the LAST commit window (export marker dropped after
+    // the signature append): the replay keeps nothing, overwrites nothing,
+    // and every table stays byte-identical — zero duplicate doc_ids.
+    catalog.dropPartitions("export_batches", "batch_id", _ == "1")
+    StreamingPipeline.processExportBatch(b1, 1L, out, budget = 64, storeBuckets = 4)
+    catalog.read("docs_export").count() shouldBe nDocs
+    catalog.read("docs_export").select("doc_id").distinct().count() shouldBe nDocs
     catalog.read(IncrementalPack.PacksTable).count() shouldBe nPacks
   }
 
