@@ -335,6 +335,27 @@ object OpsQueries {
           coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
     }),
 
+    // --- DD8c: decontamination PROVENANCE (round-5 verdict item #2) — the
+    //     audit trail behind the DD8b boolean: one row per (training doc,
+    //     eval doc) pair sharing at least one 8-gram, with the count of
+    //     shared distinct grams. A release gate adjudicates false
+    //     positives on exactly this evidence (one boilerplate 8-gram vs a
+    //     verbatim answer span). Same gram-hash equi-join as DD8b — only
+    //     (doc_id, md5(8-gram)) rows move — plus one ids-only partial-agg
+    //     groupBy; DD8b's flag is this frame projected to distinct train
+    //     ids (DecontamSpec asserts the identity on the persisted store
+    //     path too). ---
+    "dd_decontam_pairs" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
+        .select(col("gh"), col("doc_id").as("eval_doc_id"))
+      gramHashes(d.filter(col("doc_id") < 450))
+        .withColumnRenamed("doc_id", "train_doc_id")
+        .join(evalGrams, Seq("gh"))
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
@@ -412,6 +433,20 @@ object OpsQueries {
       banded.unpersist()
       e.unpersist()
       res
+    }),
+
+    // --- DD9: SEMANTIC dedup (SemDeDup-shaped, round-5 verdict item #3) —
+    //     the embedding-space twin of dd_cluster_resolve: IVF cell
+    //     assignment prunes the pair space (within-cell only), cosine ≥
+    //     0.4 marks semantic duplicates, connected components keep one
+    //     representative per transitive cluster. Composed entirely from
+    //     oracle-green primitives (the session-memoized IVF index, the
+    //     broadcast cell assignment, CC) and mirrored in SQL down to the
+    //     same Lloyd-refined rounded centroids. SimilaritySpec adds the
+    //     recall gate vs the uncelled banded near-dup pairs. ---
+    "emb_semdedup" -> ((s: SparkSession, dir: String) => {
+      Similarity.semDedup(
+        Similarity.prepare(emb(s, dir)), ivfCents(s, dir, 16), minCos = 0.4)
     }),
 
     // --- ANN1: brute-force cosine top-k against a fixed query vector ---
@@ -1110,6 +1145,17 @@ object OpsQueries {
           |SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS is_contaminated
           |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
           |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
+      "dd_decontam_pairs" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, len(ws) - 7),
+          |    i -> md5(array_to_string(ws[i:i+7], ' '))))) AS gh
+          |  FROM w WHERE len(ws) >= 8)
+          |SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+          |  count(*) AS n_shared_grams
+          |FROM g t JOIN g e USING (gh)
+          |WHERE t.doc_id < 450 AND e.doc_id >= 450
+          |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "tx_chunk" ->
         """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
           |x AS (SELECT doc_id, ws,
@@ -1146,6 +1192,21 @@ object OpsQueries {
            |  round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
            |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin.replace("\n", " "),
+      "emb_semdedup" ->
+        s"""WITH RECURSIVE $ivfCentsSql,
+           |p AS (SELECT a.vec_id AS da, b.vec_id AS db FROM a1 a JOIN a1 b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.v, b.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+           |edges AS (SELECT da AS src, db AS dst FROM p UNION SELECT db AS src, da AS dst FROM p),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT reach.id, ed.dst FROM reach JOIN edges ed ON ed.src = reach.r),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+           |SELECT e.vec_id, coalesce(c.rep, e.vec_id) AS cluster_rep,
+           |  e.vec_id = coalesce(c.rep, e.vec_id) AS is_kept
+           |FROM e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin.replace("\n", " "),
       "ann_topk_bruteforce" -> bruteTopkSql,
       "ann_ivf_exhaustive" -> bruteTopkSql,
       "ann_ivf_topk" -> ivfTopkSql,

@@ -22,7 +22,7 @@ object Decontam {
   val DefaultN = 8
 
   val GramTable: String = "eval_grams"
-  val GramSchemaDdl: String = "gh STRING, set_id STRING"
+  val GramSchemaDdl: String = "gh STRING, eval_doc_id BIGINT, set_id STRING"
   val GramBucketCols: Seq[String] = Seq("gh")
   val GramPartitionCols: Seq[String] = Seq("set_id")
 
@@ -75,8 +75,13 @@ object Decontam {
     catalog.ensureBucketed(
       GramTable, GramSchemaDdl, GramBucketCols, nBuckets, GramPartitionCols)
     retractEvalSet(catalog, setId, nBuckets)
+    // (gh, eval_doc_id) pairs, not a distinct gh set: the eval doc id is
+    // what makes contamination AUDITABLE (round-5 verdict item #2 — a
+    // release gate has to adjudicate which eval doc matched). The boolean
+    // gate still semi-joins on gh alone.
     catalog.appendBucketed(
-      gramHashes(evalDocs, textCol, n).select("gh").distinct()
+      gramHashes(evalDocs, textCol, n)
+        .select(col("gh"), col("doc_id").as("eval_doc_id"))
         .withColumn("set_id", lit(setId)),
       GramTable, GramBucketCols, nBuckets, GramPartitionCols)
     // COMMIT POINT — the manifest partition makes the set visible.
@@ -132,4 +137,25 @@ object Decontam {
     gramHashes(docs, textCol, n)
       .join(store.select("gh"), Seq("gh"), "left_semi")
       .select("doc_id").distinct()
+
+  /** The AUDIT TRAIL behind `contaminatedIds` (round-5 verdict item #2):
+    * one row per (training doc, eval doc) pair that shares at least one
+    * stored n-gram, with the shared-gram count — the evidence an operator
+    * needs to adjudicate a flag (one boilerplate 8-gram vs a verbatim
+    * answer). Same gram-hash join as the boolean gate (store side still
+    * bucketed by gh, exchange-free) plus one ids-only groupBy;
+    * `contaminatedIds` is exactly this frame projected to distinct
+    * train_doc_id (DecontamSpec asserts the identity).
+    */
+  def contaminationPairs(
+      docs: DataFrame,
+      store: DataFrame,
+      textCol: String = "text",
+      n: Int = DefaultN
+  ): DataFrame =
+    gramHashes(docs, textCol, n)
+      .withColumnRenamed("doc_id", "train_doc_id")
+      .join(store.select("gh", "eval_doc_id"), Seq("gh"))
+      .groupBy("train_doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
 }

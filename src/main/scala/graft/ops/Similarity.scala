@@ -274,6 +274,46 @@ object Similarity {
       .select(col("vec_id"), col("cos_sim"))
   }
 
+  /** SemDeDup-shaped SEMANTIC deduplication (round-5 verdict item #3) —
+    * the composed operator real corpus pipelines run on embeddings, built
+    * from the already-oracled primitives: (1) assign every vector to its
+    * IVF cell (single-row centroid broadcast + row-local argmax — the
+    * vector side is never hash-exchanged for the assignment); (2) candidate
+    * pairs = within-cell pairs whose cosine ≥ `minCos` (the cell key is the
+    * pruning that keeps the pairing linear-ish — with nCells ≈ √n each
+    * cell's self-join is O(n) expected, the published SemDeDup recipe —
+    * instead of the corpus-wide O(n²)); (3) resolve pairs TRANSITIVELY via
+    * connected components and keep each cluster's min-id representative
+    * (the dd_cluster_resolve contract). Returns one row per input vector:
+    * (vec_id, cluster_rep, is_kept).
+    *
+    * Shuffle budget: one exchange of (cell, id, v, nrm) per join side for
+    * the cell-keyed pairing — the only time payloads move — then ids-only
+    * through CC and the final left join.
+    */
+  def semDedup(
+      e: DataFrame,
+      cents: DataFrame,
+      minCos: Double = 0.4
+  ): DataFrame = {
+    val assigned = assignCellBroadcast(e, cents)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot("va", "vb") / (col("na") * col("nb")) >= minCos)
+      .select("id_a", "id_b")
+    val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    e.select("vec_id").join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("vec_id") === col("cluster_rep"))
+  }
+
   /** Batch ANN (round-2 review item #5): top-k for a whole query TABLE
     * (qid, qv, qn) in one pass. Per-query probe lists are computed by a
     * broadcast of the single-row centroid array against the (small) query

@@ -106,7 +106,7 @@ class DecontamSpec extends SparkSpecBase {
       Decontam.GramBucketCols, 4, Decontam.GramPartitionCols)
     catalog.appendBucketed(
       Decontam.gramHashes(Seq(900L -> evalSentence).toDF("doc_id", "text"), "text")
-        .select("gh").distinct()
+        .select(col("gh"), col("doc_id").as("eval_doc_id"))
         .withColumn("set_id", org.apache.spark.sql.functions.lit("ghost")),
       Decontam.GramTable, Decontam.GramBucketCols, 4, Decontam.GramPartitionCols)
     val train = Seq(
@@ -124,6 +124,29 @@ class DecontamSpec extends SparkSpecBase {
     store.count() shouldBe store.select("gh").distinct().count()
     Decontam.contaminatedIds(train, store)
       .collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
+  test("provenance pairs project exactly onto the boolean gate (query and store paths)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir("decontam-pairs")
+    val catalog = new TranscriptCatalog(out, spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Decontam.publishEvalSet(catalog, docs.filter(col("doc_id") >= 450), nBuckets = 4)
+    val store = Decontam.evalGramStore(catalog, 4)
+    val train = docs.filter(col("doc_id") < 450)
+    val pairs = Decontam.contaminationPairs(train, store).collect()
+    pairs.foreach { r =>
+      r.getLong(1) should be >= 450L
+      r.getLong(2) should be >= 1L
+    }
+    // the boolean gate IS the pair frame projected to distinct train ids
+    val viaPairs = pairs.map(_.getLong(0)).toSet
+    Decontam.contaminatedIds(train, store)
+      .collect().map(_.getLong(0)).toSet shouldBe viaPairs
+    // and the catalog query row agrees with the store path
+    OpsQueries.queries("dd_decontam_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
   test("store gate equals the oracled dd_decontam_ngram on the real corpus") {
