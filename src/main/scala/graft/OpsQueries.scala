@@ -335,6 +335,19 @@ object OpsQueries {
           coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
     }),
 
+    // --- DD10: LINE-level cross-corpus dedup (round-5 verdict item #4) —
+    //     the C4/CCNet boilerplate strip: explode docs into line units
+    //     (newline split, 8-word fallback segmentation — graft.ops
+    //     .LineDedup), count each unit's occurrences across the WHOLE
+    //     corpus, drop every occurrence of any unit seen more than once,
+    //     and emit the per-doc scrubbed fingerprint. Catches the repeated
+    //     header/footer/banner text that whole-doc hashing never sees.
+    //     Only (doc_id, idx, md5) rows shuffle; the over-threshold hash
+    //     set is the tiny anti-join build side. ---
+    "dd_line_dedup" -> ((s: SparkSession, dir: String) => {
+      graft.ops.LineDedup.scrub(docs(s, dir), "text", maxOccurrences = 1)
+    }),
+
     // --- DD8c: decontamination PROVENANCE (round-5 verdict item #2) — the
     //     audit trail behind the DD8b boolean: one row per (training doc,
     //     eval doc) pair sharing at least one 8-gram, with the count of
@@ -1145,6 +1158,26 @@ object OpsQueries {
           |SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS is_contaminated
           |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
           |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
+      // Unit arrays mirror LineDedup.unitArraySql exactly: newline split,
+      // 8-word segments, one unit minimum per line; idx base differs
+      // (0- vs 1-based) but only the ORDER reaches the scrub hash.
+      "dd_line_dedup" ->
+        """WITH u0 AS (SELECT doc_id, string_split(lower(text), chr(10)) AS lines FROM documents),
+          |u1 AS (SELECT doc_id, flatten(list_transform(lines, l -> list_transform(
+          |    generate_series(1, greatest(1, CAST(ceil(len(string_split(l, ' ')) / 8.0) AS INT))),
+          |    u -> md5(array_to_string(string_split(l, ' ')[(u-1)*8+1 : (u-1)*8+8], ' '))))) AS lhs
+          |  FROM u0),
+          |units AS (SELECT doc_id, unnest(lhs) AS lh, unnest(generate_series(1, len(lhs))) AS line_idx FROM u1),
+          |rep AS (SELECT lh FROM units GROUP BY lh HAVING count(*) > 1),
+          |kept AS (SELECT u.doc_id, count(*) AS kept_line_count,
+          |    md5(array_to_string(list(u.lh ORDER BY u.line_idx), ' ')) AS scrub_hash
+          |  FROM units u LEFT JOIN rep ON u.lh = rep.lh
+          |  WHERE rep.lh IS NULL GROUP BY u.doc_id),
+          |tot AS (SELECT doc_id, count(*) AS n_lines FROM units GROUP BY doc_id)
+          |SELECT t.doc_id, t.n_lines,
+          |  coalesce(k.kept_line_count, 0) AS kept_line_count,
+          |  coalesce(k.scrub_hash, md5('')) AS scrub_hash
+          |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin.replace("\n", " "),
       "dd_decontam_pairs" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level cross-corpus exact deduplication — the C4/CCNet "strip lines
+  * repeated across the corpus" pass (round-5 verdict item #4): boilerplate
+  * (nav bars, cookie banners, license headers) repeats VERBATIM across
+  * thousands of pages, and whole-doc dedup never catches it because the
+  * surrounding page differs. The pass explodes documents into line units,
+  * counts each unit's occurrences corpus-wide, strips every occurrence of
+  * any unit seen more than `maxOccurrences` times, and re-emits each doc's
+  * scrubbed fingerprint.
+  *
+  * Unit definition: documents split on '\n'; every line is then segmented
+  * into consecutive [[UnitWords]]-word units (one unit for a shorter
+  * line). The fallback segmentation makes the operator total on corpora
+  * without newlines (the synthetic testdata) and bounds a unit's size on
+  * real text, the same reason CCNet dedups on normalized PARAGRAPH units
+  * rather than raw lines.
+  *
+  * Scale shape: after the one text pass that hashes units, only
+  * (doc_id, line_idx, md5) rows move — the corpus-wide count is one
+  * partial-aggregated shuffle of hashes, the strip is a left-anti join
+  * against the (tiny) over-threshold hash set, and the per-doc reassembly
+  * groups by doc_id (cardinality = corpus size, fully parallel). The
+  * scrubbed doc is emitted as a HASH-of-kept-hashes fingerprint, so text
+  * never joins or shuffles anywhere.
+  */
+object LineDedup {
+
+  /** Words per line unit (the value the dd_line_dedup oracle mirrors). */
+  val UnitWords = 8
+
+  /** The per-doc array of unit hashes as one codegen'd expression:
+    * flatten(lines -> per-line unit md5s), order = document order.
+    */
+  private def unitArraySql(textCol: String): String =
+    s"""flatten(transform(split(lower($textCol), chr(10)), l ->
+       |  transform(sequence(1, greatest(1, CAST(ceil(size(split(l, ' ')) / ${UnitWords}.0) AS INT))),
+       |    u -> md5(concat_ws(' ', slice(split(l, ' '), (u - 1) * $UnitWords + 1, $UnitWords))))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** (doc_id, line_idx, lh): every line unit of every doc, in document
+    * order (line_idx is 0-based). One Generate + projection; unit TEXT
+    * never leaves the map task — only its md5.
+    */
+  def unitHashes(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+      posexplode(expr(unitArraySql(textCol))).as(Seq("line_idx", "lh")))
+
+  /** One row per doc: total unit count, units surviving the corpus-wide
+    * strip (occurrences ≤ `maxOccurrences`), and the scrubbed-doc
+    * fingerprint — md5 over the kept unit hashes in document order
+    * (md5 of the empty string when everything was stripped, so the
+    * output stays total).
+    */
+  def scrub(
+      df: DataFrame,
+      textCol: String = "text",
+      maxOccurrences: Int = 1
+  ): DataFrame = {
+    val units = unitHashes(df, textCol)
+    // the over-threshold hash set is small (boilerplate), so it is the
+    // build side of the anti join
+    val repeated = units.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxOccurrences)
+      .select("lh")
+    val kept = units.join(repeated, Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_line_count"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(line_idx, lh))), s -> s.lh)")))
+          .as("scrub_hash"))
+    units.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("kept_line_count"), lit(0L)).as("kept_line_count"),
+        coalesce(col("scrub_hash"), md5(lit(""))).as("scrub_hash"))
+  }
+}
