@@ -143,16 +143,20 @@ object OpsQueries {
   }
 
   /** THE quality-score expression — one definition shared by tx_quality,
-    * corpus_build, and q_corpus_incremental (their oracles all mirror this
-    * exact formula; a threshold or stopword change must happen HERE).
+    * corpus_build, q_corpus_incremental, corpus_export and the streaming
+    * quality gate (their oracles all mirror this exact formula via
+    * `QualityScore.sqlDuck`; a weight or threshold change must happen in
+    * graft.parse.QualityScore). Since round 6 this is the hashed-vocab
+    * linear classifier, not the 2-stopword length heuristic.
     */
-  private[graft] def qualityCol: Column = {
-    val ws = split(lower(col("text")), " ")
-    val nWords = size(ws)
-    val stops = expr("size(filter(split(lower(text), ' '), w -> w IN ('the', 'a')))")
-    least(lit(1.0), nWords.cast("double") / 50) *
-      (lit(1.0) - stops.cast("double") / nWords)
-  }
+  private[graft] def qualityCol: Column =
+    graft.parse.QualityScore.scoreCol("text")
+
+  /** The DuckDB mirror of [[qualityCol]], interpolated into every oracle
+    * that gates on quality.
+    */
+  private def qualitySqlDuck: String =
+    graft.parse.QualityScore.sqlDuck("text")
 
   /** The corpus keep-set: exact dedup (min doc per content hash) followed
     * by transitive near-dup cluster resolution (one representative per
@@ -680,7 +684,10 @@ object OpsQueries {
           pmod(col("gcum"), lit(512L)).as("pack_pos"))
     }),
 
-    // --- TX1: quality scoring (length / stopword ratios) ---
+    // --- TX1: quality scoring — structural ratios plus the hashed-vocab
+    //     linear classifier score (graft.parse.QualityScore; round-5
+    //     verdict item #6). lex_score is the bag-of-hashed-words feature
+    //     itself, exposed for threshold tuning. ---
     "tx_quality" -> ((s: SparkSession, dir: String) => {
       val ws = split(lower(col("text")), " ")
       val nWords = size(ws)
@@ -690,7 +697,9 @@ object OpsQueries {
         nWords.as("n_words"),
         round(col("n_chars").cast("double") / nWords, 4).as("avg_word_span"),
         round(stops.cast("double") / nWords, 4).as("stop_ratio"),
-        round(qualityCol, 4).as("quality"))
+        graft.parse.QualityScore.round4(
+          graft.parse.QualityScore.lexCol("text")).as("lex_score"),
+        qualityCol.as("quality"))
     }),
 
     // --- TX2: language-ID via stopword-profile scoring (graft.parse.LangId,
@@ -1273,9 +1282,7 @@ object OpsQueries {
            |WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""".stripMargin.replace("\n", " "),
       "corpus_build" ->
         s"""WITH RECURSIVE q0 AS (
-           |  SELECT doc_id, text,
-           |    least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) *
-           |    (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))) AS quality
+           |  SELECT doc_id, text, $qualitySqlDuck AS quality
            |  FROM documents),
            |q AS (SELECT * FROM q0 WHERE quality >= 0.4),
            |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
@@ -1299,9 +1306,7 @@ object OpsQueries {
            |WHERE c.rep IS NULL OR c.rep = k1.doc_id""".stripMargin.replace("\n", " "),
       "q_corpus_incremental" ->
         s"""WITH RECURSIVE
-           |q0 AS (SELECT doc_id, text,
-           |  least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) *
-           |  (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))) AS quality,
+           |q0 AS (SELECT doc_id, text, $qualitySqlDuck AS quality,
            |  md5(text) AS h FROM documents),
            |qq AS (SELECT * FROM q0 WHERE quality >= 0.4),
            |tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
@@ -1344,12 +1349,14 @@ object OpsQueries {
            |SELECT bq.doc_id, (kept.doc_id IS NOT NULL) AS is_kept
            |FROM bq LEFT JOIN kept ON bq.doc_id = kept.doc_id""".stripMargin.replace("\n", " "),
       "tx_quality" ->
-        """SELECT doc_id,
-          |  len(string_split(lower(text), ' ')) AS n_words,
-          |  round(CAST(n_chars AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS avg_word_span,
-          |  round(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS stop_ratio,
-          |  round(least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) * (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))), 4) AS quality
-          |FROM documents""".stripMargin.replace("\n", " "),
+        s"""SELECT doc_id,
+           |  len(string_split(lower(text), ' ')) AS n_words,
+           |  round(CAST(n_chars AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS avg_word_span,
+           |  round(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS stop_ratio,
+           |  ${graft.parse.QualityScore.round4SqlDuck(
+                 graft.parse.QualityScore.lexSqlDuck("string_split(lower(text), ' ')"))} AS lex_score,
+           |  $qualitySqlDuck AS quality
+           |FROM documents""".stripMargin.replace("\n", " "),
       "tx_langid" ->
         s"""SELECT lang,
            |${graft.parse.LangId.predSqlDuck("string_split(lower(text), ' ')")} AS lang_pred,
@@ -1466,9 +1473,7 @@ object OpsQueries {
       "corpus_export" ->
         s"""WITH RECURSIVE
            |tr AS (SELECT * FROM documents WHERE doc_id < 450),
-           |q0 AS (SELECT doc_id, text, lang,
-           |  least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50) *
-           |  (1.0 - CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(lower(text), ' '))) AS quality
+           |q0 AS (SELECT doc_id, text, lang, $qualitySqlDuck AS quality
            |  FROM tr),
            |q AS (SELECT * FROM q0 WHERE quality >= 0.4),
            |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
