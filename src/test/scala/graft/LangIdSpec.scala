@@ -26,7 +26,13 @@ class LangIdSpec extends SparkSpecBase {
     "de" -> "der hund ist in dem garten und das wetter ist nicht schlecht für ein spiel",
     "de" -> "die ergebnisse der studie sind von den forschern und das ist ein erfolg",
     "es" -> "el gato está en el jardín y los pájaros cantan una canción por la mañana",
-    "es" -> "los resultados de un estudio es algo que vemos como un gran éxito pero raro")
+    "es" -> "los resultados de un estudio es algo que vemos como un gran éxito pero raro",
+    "it" -> "il gatto è nel giardino e gli uccelli cantano anche se non sono di questo posto",
+    "it" -> "i risultati della ricerca sono chiari e anche questo studio non si discute",
+    "pt" -> "o gato está no jardim e os pássaros cantam uma canção para você com muito gosto",
+    "pt" -> "os resultados dos estudos não são claros mas isso é algo que vemos com mais calma",
+    "nl" -> "de kat zit in de tuin en het weer is niet slecht voor een spelletje met de bal",
+    "nl" -> "de resultaten van het onderzoek zijn ook naar de pers gegaan maar dan anders")
 
   test("labeled accuracy is 100% on real sentences in every profiled language") {
     val preds = predict(labeled)
