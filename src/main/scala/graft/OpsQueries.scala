@@ -325,6 +325,23 @@ object OpsQueries {
         .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
     }),
 
+    // --- DD7b: incremental near-dup PROVENANCE (round 6, the audit-trail
+    //     twin of dd_decontam_pairs for the ingest path): one row per
+    //     (new doc, stored doc) pair colliding on ≥1 MinHash band, with
+    //     the band count — WHY the nightly ingest dropped a document.
+    //     Same bucketed-store band equi-join as DD7 plus one ids-only
+    //     groupBy; DD7's is_dup is this frame's distinct-new-id
+    //     projection (IncrementalDedupSpec asserts it). ---
+    "q_neardup_pairs" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.IncrementalDedup
+      val tok = docShingles(s, dir)
+      val store = IncrementalDedup.signatures(
+        tok.filter(col("doc_id") < 250), "doc_id", "toks", MinhashBands, MinhashRows)
+      val newSigs = IncrementalDedup.signatures(
+        tok.filter(col("doc_id") >= 250), "doc_id", "toks", MinhashBands, MinhashRows)
+      IncrementalDedup.duplicatePairs(newSigs, store, "doc_id")
+    }),
+
     // --- DD8: eval-set decontamination — the release-gate check every
     //     training pipeline runs: flag TRAINING docs that near-duplicate
     //     any doc of a held-out EVAL set (here the corpus splits at
@@ -1205,6 +1222,17 @@ object OpsQueries {
            |SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_dup
            |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
            |WHERE d.doc_id >= 250""".stripMargin.replace("\n", " "),
+      "q_neardup_pairs" ->
+        s"""WITH tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |bb AS (SELECT doc_id, 0 AS bi, b1 AS bh FROM sig WHERE b1 IS NOT NULL
+           |       UNION ALL
+           |       SELECT doc_id, 1 AS bi, b2 AS bh FROM sig WHERE b2 IS NOT NULL),
+           |h AS (SELECT * FROM bb WHERE doc_id < 250),
+           |n AS (SELECT * FROM bb WHERE doc_id >= 250)
+           |SELECT n.doc_id, h.doc_id AS matched_doc_id, count(*) AS n_shared_bands
+           |FROM n JOIN h ON n.bi = h.bi AND n.bh = h.bh
+           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "dd_decontaminate" ->
         s"""WITH tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
            |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),

@@ -69,6 +69,21 @@ object IncrementalDedup {
       .join(store.select("band_idx", "band_hash"), Seq("band_idx", "band_hash"), "left_semi")
       .select(idCol).distinct()
 
+  /** The AUDIT TRAIL behind [[duplicateIds]] (round-6, the near-dup twin
+    * of `Decontam.contaminationPairs`): one row per (new doc, stored doc)
+    * pair that collides on at least one band, with the colliding-band
+    * count — the evidence needed to adjudicate WHY an ingest batch dropped
+    * a document. Same band equi-join (store side still bucketed and
+    * exchange-free) plus one ids-only groupBy; `duplicateIds` is exactly
+    * this frame projected to distinct new-doc ids.
+    */
+  def duplicatePairs(newSigs: DataFrame, store: DataFrame, idCol: String): DataFrame =
+    newSigs
+      .join(store.select(col(idCol).as("matched_doc_id"),
+        col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+      .groupBy(col(idCol), col("matched_doc_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+
   /** Split a new batch into (kept, dropped) against the store and return
     * (kept docs, dropped docs, kept docs' signatures ready to append to the
     * store). Within-batch near-dups are NOT resolved here — run the batch

@@ -445,6 +445,30 @@ object StreamingPipeline {
       "export_batches", Seq("batch_id"))
   }
 
+  /** Streaming semantic dedup — `graft.ops.IncrementalSemDedup` under
+    * foreachBatch: each micro-batch of raw embeddings `(vec_id,
+    * embedding)` is dropped against the bucketed kept-vector store
+    * (within-IVF-cell cosine), resolved transitively within itself, and
+    * its survivors committed exactly-once (batch_id-partitioned overwrite
+    * + store append + marker). The index must be published
+    * (`IncrementalSemDedup.publishIndex`) before the stream starts.
+    */
+  def semdedupSink(
+      vectors: DataFrame, // streaming (vec_id: long, embedding: array<float>)
+      catalogRoot: String,
+      checkpoint: String,
+      minCos: Double = 0.95,
+      storeBuckets: Int = 16
+  ): DataStreamWriter[Row] =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IncrementalSemDedup.processBatch(
+          new graft.sink.TranscriptCatalog(catalogRoot, batch.sparkSession),
+          batch, batchId, minCos, storeBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** `processExportBatch` as a foreachBatch stream sink. */
   def exportSink(
       docs: DataFrame,

@@ -117,4 +117,19 @@ class IncrementalDedupSpec extends SparkSpecBase {
     flagged shouldBe pairs
     res.count() shouldBe 250L
   }
+
+  test("the provenance pairs project exactly onto duplicateIds (and name real store docs)") {
+    val dir = "/root/testdata/sf0.01"
+    val pairs = OpsQueries.queries("q_neardup_pairs")(spark, dir).collect()
+    pairs.foreach { r =>
+      r.getLong(0) should be >= 250L       // new-batch side
+      r.getLong(1) should be < 250L        // matched store doc
+      r.getLong(2) should (be >= 1L and be <= 2L) // 2 bands max
+    }
+    val viaPairs = pairs.map(_.getLong(0)).toSet
+    val flagged = OpsQueries.queries("q_incremental_neardup")(spark, dir)
+      .filter(col("is_dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    viaPairs shouldBe flagged
+  }
 }
