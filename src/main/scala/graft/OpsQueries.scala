@@ -423,6 +423,17 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_shared_grams"))
     }),
 
+    // --- DD11: exact substring-span dedup (Lee et al. 2022 shape, round 6)
+    //     — maximal verbatim token spans (≥ k) repeated ANYWHERE in the
+    //     corpus, as (doc_id, span_start, span_tokens); the span output a
+    //     scrub stage cuts out of training text. Positioned-k-gram
+    //     re-expression of the paper's suffix-array pass: only
+    //     (doc_id, pos, md5) rows shuffle, dup-hash set is the tiny
+    //     semi-join build side, span merge is a per-doc window. ---
+    "dd_substring_spans" -> ((s: SparkSession, dir: String) => {
+      graft.ops.SubstringDedup.spans(docs(s, dir), "text")
+    }),
+
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
@@ -1012,6 +1023,36 @@ object OpsQueries {
         .select(col("doc_id"), col("lang"), col("tokens"), col("lang_cum"))
     }),
 
+    // --- TX12b: TEMPERATURE-based mixing (round 6) — the multilingual
+    //     pretraining recipe (XLM-R-style size^alpha sampling, alpha=0.5):
+    //     instead of fixed per-language budgets, each language's token
+    //     budget is its sqrt-share of corpus tokens times the global
+    //     budget, up-weighting low-resource languages. Weights live in the
+    //     INTEGER domain (sqi = floor(sqrt(tot)*1000), budget = integer
+    //     div) so the oracle is exact: IEEE sqrt is correctly rounded and
+    //     identical across engines, and integer sums/divisions carry no
+    //     FP accumulation-order sensitivity at all (the quantized-weights
+    //     trick of ann_topk_quantized). The per-language table is tiny by
+    //     construction (cardinality = languages), so its global sum is a
+    //     single-row broadcast; the per-doc pass reuses the keyed
+    //     hierarchical prefix sum. ---
+    "tx_mix_temperature" -> ((s: SparkSession, dir: String) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).as("tokens"))
+      val wts = toks.groupBy("lang").agg(sum("tokens").as("tot"))
+        .withColumn("sqi", floor(sqrt(col("tot").cast("double")) * 1000).cast("long"))
+      val budgets = wts
+        .crossJoin(broadcast(wts.agg(sum("sqi").as("denom"))))
+        .withColumn("budget", expr("(12000 * sqi) div denom"))
+        .select("lang", "budget")
+      graft.ops.SequencePack.exclusivePrefixSum(toks, "doc_id", "tokens",
+          "lang_cum", blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
+        .join(broadcast(budgets), Seq("lang"))
+        .filter(col("lang_cum") < col("budget"))
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          col("lang_cum"), col("budget"))
+    }),
+
     // --- TX4: document fingerprint (canonicalized-vocabulary hash) ---
     "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
       docs(s, dir).select(
@@ -1287,6 +1328,27 @@ object OpsQueries {
           |FROM g t JOIN g e USING (gh)
           |WHERE t.doc_id < 450 AND e.doc_id >= 450
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // Mirrors SubstringDedup.spans exactly: positioned 8-gram md5s
+      // (two zipped unnests), corpus-wide count ≥ 2, run merge on
+      // gap > 8, maximal-extent arithmetic.
+      "dd_substring_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(generate_series(1, len(ws) - 7)) AS pos,
+          |    unnest(list_transform(generate_series(1, len(ws) - 7),
+          |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS gh
+          |  FROM w WHERE len(ws) >= 8),
+          |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+          |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+          |r AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM h),
+          |runs AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM r)
+          |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+          |  CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS span_tokens
+          |FROM runs GROUP BY doc_id, run_id""".stripMargin.replace("\n", " "),
       "tx_chunk" ->
         """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
           |x AS (SELECT doc_id, ws,
@@ -1589,6 +1651,20 @@ object OpsQueries {
           |SELECT doc_id, lang, CAST(tokens AS INT) AS tokens,
           |  CAST(cum AS BIGINT) AS lang_cum
           |FROM c WHERE cum < CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END""".stripMargin.replace("\n", " "),
+      // Integer-domain temperature weights (sqi/denom/div) mirror the
+      // Scala build exactly; DuckDB's sum(sqi) is HUGEINT, so the budget
+      // is cast back to BIGINT.
+      "tx_mix_temperature" ->
+        """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS tokens FROM documents),
+          |lt AS (SELECT lang, sum(tokens) AS tot FROM t GROUP BY lang),
+          |w AS (SELECT lang, CAST(floor(sqrt(CAST(tot AS DOUBLE)) * 1000) AS BIGINT) AS sqi FROM lt),
+          |b AS (SELECT lang, CAST((12000 * sqi) // (SELECT sum(sqi) FROM w) AS BIGINT) AS budget FROM w),
+          |c AS (SELECT doc_id, lang, tokens,
+          |  coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |  FROM t)
+          |SELECT c.doc_id, c.lang, CAST(c.tokens AS INT) AS tokens,
+          |  CAST(c.cum AS BIGINT) AS lang_cum, b.budget
+          |FROM c JOIN b USING (lang) WHERE c.cum < b.budget""".stripMargin.replace("\n", " "),
       "tx_fingerprint" ->
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
       "mm_frame_sample" ->

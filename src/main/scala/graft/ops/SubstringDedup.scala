@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring deduplication — the "remove verbatim repeated spans"
+  * pass of Lee et al. 2022 (Deduplicating Training Data Makes Language
+  * Models Better): any token span of length ≥ k that occurs more than
+  * once ANYWHERE in the corpus is reported as a duplicated span, merged
+  * to maximal extents per document. Whole-doc and line-unit dedup
+  * ([[LineDedup]]) both miss a verbatim paragraph pasted mid-page; this
+  * pass catches exactly that, and its span output is what a scrub stage
+  * cuts out of the training text.
+  *
+  * The suffix-array construction of the paper is a single-machine
+  * algorithm; the distributed re-expression is positioned k-gram
+  * hashing: a span of length L ≥ k occurs twice iff all of its L-k+1
+  * constituent k-grams occur twice, so duplicated-k-gram positions are
+  * exactly the cover of duplicated spans, and merging consecutive
+  * positions (gap ≤ k, i.e. covers overlap or touch) reconstructs the
+  * maximal spans. k is both the detection threshold and the positional
+  * resolution.
+  *
+  * Scale shape: the one text pass emits (doc_id, pos, md5(k-gram)) —
+  * gram TEXT never leaves the map task. The corpus-wide occurrence
+  * count is one partial-aggregated shuffle of hashes; the position
+  * filter is a semi-join against the (small) duplicated-hash set; the
+  * span merge is a per-document window (key cardinality = corpus size,
+  * fully parallel). Nothing is O(n²) and no driver loop exists.
+  */
+object SubstringDedup {
+
+  /** Span-detection threshold in tokens (the value the catalog oracle
+    * mirrors). Lee et al. use 50 BPE tokens on web corpora; the small
+    * synthetic testdata uses the decontamination family's 8.
+    */
+  val DefaultK = 8
+
+  /** (doc_id, pos, gh): md5 of the k-gram starting at 1-based token
+    * position `pos`, for every position — POSITIONED, not distinct
+    * (the positions are the point; [[Decontam.gramHashes]] is the
+    * membership-only sibling). Docs shorter than k tokens carry no rows.
+    */
+  def positionedGrams(df: DataFrame, textCol: String = "text", k: Int = DefaultK): DataFrame =
+    df.select(col("doc_id"), split(lower(col(textCol)), " ").as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(__ws) - ${k - 1}), i -> md5(concat_ws(' ', slice(__ws, i, $k))))"))
+        .as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
+
+  /** Maximal duplicated spans: one row per (doc, maximal span) as
+    * (doc_id, span_start, span_tokens), span_start 1-based. A k-gram
+    * counts as duplicated when its corpus-wide occurrence count is
+    * ≥ `minOccurrences` (within-doc repeats count — a doc that repeats
+    * its own paragraph gets both copies flagged, the same contract as
+    * the paper's self-repetition handling). Spans are disjoint per doc
+    * by construction (runs are separated by gaps > k).
+    */
+  def spans(
+      df: DataFrame,
+      textCol: String = "text",
+      k: Int = DefaultK,
+      minOccurrences: Int = 2
+  ): DataFrame = {
+    val grams = positionedGrams(df, textCol, k)
+    // duplicated-hash set: tiny (boilerplate + planted dups), the
+    // build side of the semi-join below
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences)
+      .select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+      .select("doc_id", "pos")
+    // merge hit positions into maximal spans: a new run starts when the
+    // gap to the previous hit exceeds k (covers neither overlap nor
+    // touch); run_id = running count of starts, per doc
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("run_id", sum("brk").over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy("doc_id", "run_id")
+      .agg(min("pos").as("span_start"), max("pos").as("last_pos"))
+      .select(col("doc_id"), col("span_start"),
+        (col("last_pos") + lit(k - 1) - col("span_start") + 1).as("span_tokens"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.SubstringDedup
+
+/** Exact substring-span dedup (graft.ops.SubstringDedup): a verbatim
+  * span shared across docs is reported at its maximal extent in BOTH
+  * docs, unique text yields nothing, within-doc repetition is flagged
+  * twice, and per-doc spans never overlap.
+  */
+class SubstringDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("a shared 12-token span is reported at its maximal extent in both docs") {
+    val span = words("s", 12)
+    val a = (words("a", 3) ++ span ++ words("x", 2)).mkString(" ")
+    val b = (words("b", 1) ++ span ++ words("y", 3)).mkString(" ")
+    val out = SubstringDedup.spans(Seq(1L -> a, 2L -> b).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    out shouldBe Array((1L, 4, 12), (2L, 2, 12))
+  }
+
+  test("fully unique corpora yield no spans; docs shorter than k yield no rows") {
+    val docs = Seq(
+      1L -> words("u", 20).mkString(" "),
+      2L -> words("v", 20).mkString(" "),
+      3L -> words("w", 5).mkString(" ") // shorter than k=8: no grams at all
+    ).toDF("doc_id", "text")
+    SubstringDedup.spans(docs).count() shouldBe 0L
+  }
+
+  test("within-doc repetition flags both occurrences as separate spans") {
+    val phrase = words("p", 8)
+    val doc = (phrase ++ words("f", 9) ++ phrase).mkString(" ")
+    val out = SubstringDedup.spans(Seq(1L -> doc).toDF("doc_id", "text"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    out shouldBe Array((1, 8), (18, 8))
+  }
+
+  test("a long shared span merges its gram hits into one maximal span") {
+    val span = words("m", 20)
+    val docs = Seq(
+      1L -> (words("c", 2) ++ span).mkString(" "),
+      2L -> (span ++ words("d", 4)).mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.spans(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    out shouldBe Array((1L, 3, 20), (2L, 1, 20))
+  }
+
+  test("per-doc spans are disjoint with gaps > k between them") {
+    val p1 = words("g", 8)
+    val p2 = words("h", 8)
+    // doc 1 carries both phrases separated by unique filler; docs 2/3
+    // each share one phrase
+    val docs = Seq(
+      1L -> (p1 ++ words("z", 10) ++ p2).mkString(" "),
+      2L -> (words("q", 2) ++ p1).mkString(" "),
+      3L -> (p2 ++ words("r", 2)).mkString(" ")
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.spans(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val doc1 = spans.filter(_._1 == 1L).map(s => (s._2, s._3)).sortBy(_._1)
+    doc1 shouldBe Array((1, 8), (19, 8))
+    // disjointness: each span ends before the next begins
+    doc1.sliding(2).foreach {
+      case Array((s1, l1), (s2, _)) => assert(s1 + l1 <= s2)
+      case _ =>
+    }
+  }
+}
