@@ -68,19 +68,52 @@ object OpsQueries {
         MinhashBands, MinhashRows))
   }
 
-  /** The shared head of the two corpus_export variants: quality gate →
+  /** Every intermediate stage of the export funnel, ids-only (except
+    * `mixed`, which carries (doc_id, lang, tokens)) — ONE definition
+    * site feeding the two corpus_export variants AND the corpus_stats
+    * datacard, so the funnel the datacard reports is byte-identical to
+    * the funnel the export runs.
+    */
+  private case class ExportStages(
+      train: DataFrame, quality: DataFrame, exactKeep: DataFrame,
+      kept: DataFrame, clean: DataFrame, mixed: DataFrame)
+
+  /** The shared head of the corpus_export variants: quality gate →
     * exact dedup → transitive near-dup resolution (train split) → n-gram
     * decontamination → per-language token-budget mixing, emitting
     * (doc_id, lang, tokens) in doc order — everything but the final
     * packing. After the first projection only ids, hashes and token
     * counts move.
+    *
+    * Memoized per (session, dir) with every stage frame materialized
+    * (the docPairs pattern): three catalog queries (both exports and the
+    * corpus_stats datacard) consume these frames, and a session running
+    * several of them — the bench, the verify run, a release build plus
+    * its report — must pay the CC/gram chain ONCE. All frames are
+    * ids-plus-scalars narrow and the chain is deterministic, so
+    * memoization cannot change any result.
     */
-  private def exportMixed(s: SparkSession, dir: String): DataFrame = {
+  private val exportCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ExportStages]
+  private def exportStages(s: SparkSession, dir: String): ExportStages = {
+    exportCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    exportCache.computeIfAbsent((s, dir), k =>
+      buildExportStages(k._1, k._2) match {
+        case ExportStages(tr, q, ek, kept, clean, mixed) => ExportStages(
+          tr.localCheckpoint(), q.localCheckpoint(), ek.localCheckpoint(),
+          kept.localCheckpoint(), clean.localCheckpoint(),
+          mixed.localCheckpoint())
+      })
+  }
+
+  private def buildExportStages(s: SparkSession, dir: String): ExportStages = {
     val d = docs(s, dir)
     val train = d.filter(col("doc_id") < 450)
     val meta = train.withColumn("quality", qualityCol)
       .filter(col("quality") >= 0.4)
       .select(col("doc_id"), md5(col("text")).as("h"))
+    val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
     val kept = corpusKeepIds(meta, docShingles(s, dir),
       pairsAll = Some(docPairs(s, dir)))
     val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
@@ -94,12 +127,17 @@ object OpsQueries {
     val toks = d.select(col("doc_id"), col("lang"),
         size(split(lower(col("text")), " ")).as("tokens"))
       .join(clean, Seq("doc_id"), "left_semi")
-    graft.ops.SequencePack.exclusivePrefixSum(toks,
+    val mixed = graft.ops.SequencePack.exclusivePrefixSum(toks,
         "doc_id", "tokens", "lang_cum",
         blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
       .filter(col("lang_cum") < budget)
       .select("doc_id", "lang", "tokens")
+    ExportStages(train.select("doc_id"), meta.select("doc_id"), exactKeep,
+      kept, clean, mixed)
   }
+
+  private def exportMixed(s: SparkSession, dir: String): DataFrame =
+    exportStages(s, dir).mixed
 
   /** Restrict a (id_a, id_b) pair frame to pairs whose BOTH endpoints are
     * in `ids` (one column `doc_id`) — the subset identity above.
@@ -731,6 +769,32 @@ object OpsQueries {
     "corpus_export_split" -> ((s: SparkSession, dir: String) => {
       graft.ops.SequencePack.packSplit(exportMixed(s, dir),
         "doc_id", "tokens", budget = 512, blockSize = 25, maxTopRows = 8)
+    }),
+
+    // --- CORPUS4: the release DATACARD funnel (round 6) — per-stage doc
+    //     and token counts through the whole export chain (train →
+    //     quality → exact dedup → near-dup → decontam → mix), the table
+    //     every release report/datacard leads with and the first thing an
+    //     operator checks when an export looks wrong ("where did the
+    //     tokens go?"). Stage frames come from the SAME exportStages
+    //     definition the export itself runs, so the funnel can never
+    //     drift from the data; each stage is one ids-only semi-join plus
+    //     a partial-aggregated count/sum. ---
+    "corpus_stats" -> ((s: SparkSession, dir: String) => {
+      val st = exportStages(s, dir)
+      val toksAll = docs(s, dir).select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("tokens"))
+      def stat(ord: Int, name: String, ids: DataFrame): DataFrame =
+        ids.select("doc_id").join(toksAll, Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stat(0, "train", st.train)
+        .unionAll(stat(1, "quality", st.quality))
+        .unionAll(stat(2, "exact_dedup", st.exactKeep))
+        .unionAll(stat(3, "neardup", st.kept))
+        .unionAll(stat(4, "decontam", st.clean))
+        .unionAll(stat(5, "mixed", st.mixed))
     }),
 
     // --- TX1: quality scoring — structural ratios plus the hashed-vocab
@@ -1643,6 +1707,22 @@ object OpsQueries {
            |  CAST(least(cum_excl + tokens, (pack_id + 1) * 512) - greatest(cum_excl, pack_id * 512) AS BIGINT) AS seg_len,
            |  CAST(greatest(cum_excl, pack_id * 512) - pack_id * 512 AS BIGINT) AS pack_pos
            |FROM u""".stripMargin.replace("\n", " "),
+      // The funnel mirror reuses the export CTE chain verbatim; ek is
+      // the exact-dedup keep set, kept the post-CC set, clean the
+      // post-decontam set, mixed the budgeted set.
+      "corpus_stats" ->
+        s"""WITH RECURSIVE $exportMixedSql,
+           |tk AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS tokens FROM documents),
+           |st AS (
+           |  SELECT 0 AS stage_ord, 'train' AS stage, count(*) AS n_docs, sum(tk.tokens) AS n_tokens FROM tr JOIN tk USING (doc_id)
+           |  UNION ALL SELECT 1, 'quality', count(*), sum(tk.tokens) FROM q JOIN tk USING (doc_id)
+           |  UNION ALL SELECT 2, 'exact_dedup', count(*), sum(tk.tokens) FROM ek JOIN tk USING (doc_id)
+           |  UNION ALL SELECT 3, 'neardup', count(*), sum(tk.tokens) FROM kept JOIN tk USING (doc_id)
+           |  UNION ALL SELECT 4, 'decontam', count(*), sum(tk.tokens) FROM clean JOIN tk USING (doc_id)
+           |  UNION ALL SELECT 5, 'mixed', count(*), sum(tk.tokens) FROM mixed JOIN tk USING (doc_id))
+           |SELECT stage_ord, stage, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens
+           |FROM st""".stripMargin.replace("\n", " "),
       "tx_mix_budget" ->
         """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS tokens FROM documents),
           |c AS (SELECT doc_id, lang, tokens,

@@ -10,6 +10,26 @@ class OpsPropertySpec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("corpus_stats: the funnel is monotone and consistent with corpus_export") {
+    val st = SparkEntry.queries("corpus_stats")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("stage_ord"))
+    st.map(_.getAs[String]("stage")).toSeq shouldBe
+      Seq("train", "quality", "exact_dedup", "neardup", "decontam", "mixed")
+    // each stage can only drop docs and tokens, never add
+    st.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"),
+          s"${b.getAs[String]("stage")} grew docs")
+        assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"),
+          s"${b.getAs[String]("stage")} grew tokens")
+      case _ =>
+    }
+    // the funnel's terminal stage IS the export's doc set
+    val exported = SparkEntry.queries("corpus_export")(spark, dir)
+      .select("doc_id").distinct().count()
+    st.last.getAs[Long]("n_docs") shouldBe exported
+  }
+
   test("emb_quantize: reconstruction error never exceeds the half-step bound") {
     // Symmetric int8 quantization: |x - q·scale| ≤ scale/2 by construction
     // (floor(x/scale + 0.5) rounds to the nearest step).
