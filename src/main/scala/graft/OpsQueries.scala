@@ -171,6 +171,17 @@ object OpsQueries {
       Similarity.buildIvfModel(Similarity.prepare(emb(k._1, k._2)), k._3))
   }
 
+  /** The 3-step k-means model over the embeddings table, memoized per
+    * (session, dir) — emb_kmeans and emb_diverse_sample fit it once.
+    */
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfModel]
+  private def kmeans16x3(spark: SparkSession, dir: String): Similarity.IvfModel = {
+    kmeansCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    kmeansCache.computeIfAbsent((spark, dir), k =>
+      Similarity.kmeansModel(Similarity.prepare(emb(k._1, k._2)), 16, iters = 3))
+  }
+
   // Null-signature caveat shared by every MinHash-derived oracle below:
   // a <3-word doc has toks = [] and list_min(...) = NULL; SQL equi-joins
   // never match NULL = NULL, so the oracle emits no pairs for token-less
@@ -563,6 +574,48 @@ object OpsQueries {
     "emb_semdedup" -> ((s: SparkSession, dir: String) => {
       Similarity.semDedup(
         Similarity.prepare(emb(s, dir)), ivfCents(s, dir, 16), minCos = 0.4)
+    }),
+
+    // --- EMB-KM: deterministic k-means clustering (round 6) — the IVF
+    //     build generalized to 3 Lloyd steps (Similarity.kmeansModel),
+    //     the clustering a curation pipeline runs for topic balance.
+    //     Per step: assignment is a literal-centroid argmax PROJECTION
+    //     (vectors never shuffle) + one partial-agg exchange of
+    //     nCells×(dim+1) doubles. Surface: per-cell member count and
+    //     centroid norm (rounded — both engines fold the 64 elements
+    //     sequentially, so the norm is cross-engine exact). ---
+    "emb_kmeans" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val model = kmeans16x3(s, dir)
+      val cents = model.centroids
+        .map { case (c, cv) => (c, math.sqrt(cv.map(x => x * x).sum)) }
+        .toDF("cell", "nrm")
+        .select(col("cell"), round(col("nrm"), 6).as("cv_norm"))
+      val counts = Similarity.prepare(emb(s, dir))
+        .select(Similarity.assignCell(model).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      cents.join(counts, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"), col("cv_norm"))
+    }),
+
+    // --- EMB-KM2: cluster-balanced diversity sampling (round 6) — take
+    //     the 2 lowest-hash members of every k-means cell: the
+    //     "spread the sample across clusters" subset selection of data
+    //     curation (vs tx_sample_strat's label-stratified form). The
+    //     rank window partitions by cell; in production k grows with the
+    //     corpus (k ≈ √n), so no fixed-cardinality window bottleneck. ---
+    "emb_diverse_sample" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val model = kmeans16x3(s, dir)
+      val assigned = Similarity.prepare(emb(s, dir))
+        .select(col("vec_id"), Similarity.assignCell(model).as("cell"),
+          md5(col("vec_id").cast("string")).as("h"))
+      assigned
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("cell"), col("rk"))
     }),
 
     // --- ANN1: brute-force cosine top-k against a fixed query vector ---
@@ -1252,6 +1305,35 @@ object OpsQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
         |  FROM (SELECT e.vec_id, e.v, c.cell, list_dot_product(e.v, c.cv) AS d
         |        FROM e CROSS JOIN cents c)) WHERE rn = 1)""".stripMargin.replace("\n", " ")
+    // The k-means mirror (emb_kmeans / emb_diverse_sample): the
+    // ivfCentsSql iteration body generated 3×, each step re-assigning
+    // against the previous step's centroids and keeping the previous
+    // centroid for emptied cells — exactly Similarity.kmeansModel.
+    val kmeansIters = (1 to 3).map { i =>
+      val prev = if (i == 1) "seeds" else s"kc${i - 1}"
+      s"""ka$i AS (SELECT vec_id, v, cell FROM (
+         |  SELECT vec_id, v, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+         |  FROM (SELECT e.vec_id, e.v, s.cell, list_dot_product(e.v, s.cv) AS d
+         |        FROM e CROSS JOIN $prev s)) WHERE rn = 1),
+         |km$i AS (SELECT cell, i, round(sum(x) / count(*), 6) AS mv FROM (
+         |  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i FROM ka$i)
+         |  GROUP BY cell, i),
+         |kn$i AS (SELECT cell, list(mv ORDER BY i) AS cv FROM km$i GROUP BY cell),
+         |kc$i AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+         |         FROM $prev p LEFT JOIN kn$i n USING (cell))"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    val kmeansSql =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+         |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         |$kmeansIters,
+         |kaf AS (SELECT vec_id, v, cell FROM (
+         |  SELECT vec_id, v, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+         |  FROM (SELECT e.vec_id, e.v, c.cell, list_dot_product(e.v, c.cv) AS d
+         |        FROM e CROSS JOIN kc3 c)) WHERE rn = 1)""".stripMargin.replace("\n", " ")
     val ivfTopkSql =
       s"""WITH $ivfCentsSql,
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -1625,6 +1707,20 @@ object OpsQueries {
           |FROM documents
           |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
           |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin.replace("\n", " "),
+      "emb_kmeans" ->
+        s"""WITH $kmeansSql,
+           |cnt AS (SELECT cell, count(*) AS n FROM kaf GROUP BY cell)
+           |SELECT c.cell, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members,
+           |  round(sqrt(list_sum(list_transform(c.cv, x -> x * x))), 6) AS cv_norm
+           |FROM kc3 c LEFT JOIN cnt USING (cell)""".stripMargin.replace("\n", " "),
+      "emb_diverse_sample" ->
+        s"""WITH $kmeansSql
+           |SELECT vec_id, cell, CAST(rk AS INT) AS rk FROM (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY cell
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+           |  FROM kaf)
+           |WHERE rk <= 2""".stripMargin.replace("\n", " "),
       "emb_quantize" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |s AS (SELECT vec_id, v,

@@ -105,15 +105,31 @@ object Similarity {
     * O(nCells·dim); cluster work is one projection + one partial-agg
     * shuffle of nCells×(dim+1) doubles.
     */
-  def buildIvfModel(e: DataFrame, nCells: Int): IvfModel = {
+  def buildIvfModel(e: DataFrame, nCells: Int): IvfModel =
+    kmeansModel(e, nCells, iters = 1)
+
+  /** Deterministic k-means: seeds = the `nCells` lowest-vec_id vectors,
+    * refined by `iters` Lloyd steps (each step's centroids rounded to
+    * [[CentroidScale]] so the cross-engine oracle stays exact). The IVF
+    * build is the iters=1 special case; clustering for diversity
+    * sampling / topic balance wants a few more steps. Per step the
+    * cluster work is one assignment projection (broadcast/literal
+    * centroids — vectors never shuffle) plus one partial-agg exchange of
+    * nCells×(dim+1) doubles; driver work is O(nCells·dim·iters).
+    */
+  def kmeansModel(e: DataFrame, nCells: Int, iters: Int): IvfModel = {
     val seeds = e.orderBy("vec_id").limit(nCells).select("v").collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    val m0 = IvfModel(seeds.toIndexedSeq)
-    val dim = m0.dim
+    (1 to iters).foldLeft(IvfModel(seeds.toIndexedSeq))((m, _) => lloydStep(e, m))
+  }
 
-    // One Lloyd step: element-wise mean per cell via 64 map-side-combined
-    // sums — the exchange carries only the tiny per-cell partials.
+  /** One Lloyd step: element-wise mean per cell via dim map-side-combined
+    * sums — the exchange carries only the tiny per-cell partials. Cells
+    * that lost every vector keep their previous centroid.
+    */
+  private def lloydStep(e: DataFrame, m0: IvfModel): IvfModel = {
+    val dim = m0.dim
     val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
     val stats = e.select(assignCell(m0).as("cell"), col("v"))
       .groupBy("cell")
@@ -124,7 +140,6 @@ object Similarity {
       val n = r.getLong(1).toDouble
       cell -> Array.tabulate(dim)(i => roundCentroid(r.getDouble(2 + i) / n))
     }.sortBy(_._1)
-    // Cells that lost every vector keep their seed centroid.
     val byCell = refined.toMap
     IvfModel(m0.centroids.map { case (c, cv) => c -> byCell.getOrElse(c, cv) })
   }
