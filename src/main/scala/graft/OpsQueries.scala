@@ -483,6 +483,16 @@ object OpsQueries {
       graft.ops.SubstringDedup.spans(docs(s, dir), "text")
     }),
 
+    // --- DD11b: the substring SCRUB (round 6) — cut every DD11 span out
+    //     of the token stream and emit the per-doc survivor count +
+    //     scrubbed fingerprint (the text a release actually ships).
+    //     Spans aggregate to one small array per affected doc; the cut
+    //     is a row-local codegen'd array filter — no token-level explode,
+    //     no second corpus-wide shuffle. ---
+    "dd_substring_scrub" -> ((s: SparkSession, dir: String) => {
+      graft.ops.SubstringDedup.scrub(docs(s, dir), "text")
+    }),
+
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
@@ -1495,6 +1505,36 @@ object OpsQueries {
           |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
           |  CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS span_tokens
           |FROM runs GROUP BY doc_id, run_id""".stripMargin.replace("\n", " "),
+      // Same span chain, then a correlated-anti position filter and an
+      // ordered string_agg rebuild the scrubbed fingerprint.
+      "dd_substring_scrub" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(generate_series(1, len(ws) - 7)) AS pos,
+          |    unnest(list_transform(generate_series(1, len(ws) - 7),
+          |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS gh
+          |  FROM w WHERE len(ws) >= 8),
+          |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+          |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+          |r AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM h),
+          |runs AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM r),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 - min(pos) + 1 AS l
+          |  FROM runs GROUP BY doc_id, run_id),
+          |toks AS (SELECT doc_id, unnest(ws) AS tw, unnest(generate_series(1, len(ws))) AS i FROM w),
+          |kept AS (SELECT t.doc_id, count(*) AS kc,
+          |    md5(string_agg(t.tw, ' ' ORDER BY t.i)) AS kh
+          |  FROM toks t
+          |  WHERE NOT EXISTS (SELECT 1 FROM sp
+          |    WHERE sp.doc_id = t.doc_id AND t.i >= sp.s AND t.i < sp.s + sp.l)
+          |  GROUP BY t.doc_id)
+          |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_tokens,
+          |  CAST(coalesce(kept.kc, 0) AS INT) AS kept_tokens,
+          |  coalesce(kept.kh, md5('')) AS scrub_hash
+          |FROM w LEFT JOIN kept USING (doc_id)""".stripMargin.replace("\n", " "),
       "tx_chunk" ->
         """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
           |x AS (SELECT doc_id, ws,

@@ -86,4 +86,44 @@ object SubstringDedup {
       .select(col("doc_id"), col("span_start"),
         (col("last_pos") + lit(k - 1) - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** The scrub pass over [[spans]]: per doc, cut every duplicated span
+    * out of the token stream and emit (doc_id, n_tokens, kept_tokens,
+    * scrub_hash) — scrub_hash is md5 over the SURVIVING tokens in
+    * document order (md5("") when everything was cut), the hash a
+    * downstream exact-dedup or text rewrite keys on. Docs without spans
+    * pass through whole.
+    *
+    * Shape: spans per doc are few and small (start, len) pairs, so they
+    * aggregate to ONE array column per affected doc and join back to the
+    * text by doc_id — the cut itself is a row-local higher-order array
+    * filter (token kept iff no span covers its position), codegen'd, no
+    * token-level explode and no second corpus-wide shuffle.
+    */
+  def scrub(
+      df: DataFrame,
+      textCol: String = "text",
+      k: Int = DefaultK,
+      minOccurrences: Int = 2
+  ): DataFrame = {
+    val spanArrays = spans(df, textCol, k, minOccurrences)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_tokens").as("l")))
+        .as("sp"))
+    df.select(col("doc_id"), split(lower(col(textCol)), " ").as("__ws"))
+      .join(spanArrays, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__ws")).as("n_tokens"),
+        expr(
+          """CASE WHEN sp IS NULL THEN __ws ELSE
+            |  transform(
+            |    filter(zip_with(__ws, sequence(1, size(__ws)),
+            |        (w, i) -> named_struct('w', w, 'i', i)),
+            |      p -> NOT exists(sp, s -> p.i >= s.s AND p.i < s.s + s.l)),
+            |    p -> p.w)
+            |END""".stripMargin.replace("\n", " ")).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).as("kept_tokens"),
+        md5(concat_ws(" ", col("__kept"))).as("scrub_hash"))
+  }
 }

@@ -50,6 +50,36 @@ class SubstringDedupSpec extends SparkSpecBase {
     out shouldBe Array((1L, 3, 20), (2L, 1, 20))
   }
 
+  test("scrub cuts exactly the spanned tokens and fingerprints the survivors") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val span = words("s", 12)
+    val a = (words("a", 3) ++ span ++ words("x", 2)).mkString(" ")
+    val b = (words("b", 1) ++ span ++ words("y", 3)).mkString(" ")
+    val clean = words("u", 9).mkString(" ")
+    val out = graft.ops.SubstringDedup.scrub(
+        Seq(1L -> a, 2L -> b, 3L -> clean).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((17, 5, md5((words("a", 3) ++ words("x", 2)).mkString(" "))))
+    out(2L) shouldBe ((16, 4, md5((words("b", 1) ++ words("y", 3)).mkString(" "))))
+    out(3L) shouldBe ((9, 9, md5(clean)))
+  }
+
+  test("a doc that is one whole duplicated span scrubs to the empty fingerprint") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val phrase = words("p", 10).mkString(" ")
+    val out = graft.ops.SubstringDedup.scrub(
+        Seq(1L -> phrase, 2L -> phrase).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((10, 0, md5("")))
+    out(2L) shouldBe ((10, 0, md5("")))
+  }
+
   test("per-doc spans are disjoint with gaps > k between them") {
     val p1 = words("g", 8)
     val p2 = words("h", 8)
