@@ -438,6 +438,37 @@ object OpsQueries {
           coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
     }),
 
+    // --- DD10b: INCREMENTAL line dedup (round 6) — scrub a NEW batch
+    //     against historical unit counts (the daily-ingest shape; corpus
+    //     split at doc_id 250 into history/batch so the oracle can mirror
+    //     it — the catalog-persisted count-store flow with its
+    //     exactly-once commit protocol is exercised in
+    //     IncrementalLineDedupSpec). A unit strips when history + batch
+    //     occurrences exceed the threshold; history itself is never
+    //     re-scrubbed (the incremental contract). ---
+    "q_incremental_linededup" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.LineDedup
+      val d = docs(s, dir)
+      val histCounts = LineDedup.unitHashes(d.filter(col("doc_id") < 250))
+        .groupBy("lh").agg(count(lit(1)).as("hist"))
+      val units = LineDedup.unitHashes(d.filter(col("doc_id") >= 250))
+      val over = units.groupBy("lh").agg(count(lit(1)).as("cnt"))
+        .join(histCounts, Seq("lh"), "left")
+        .filter(col("cnt") + coalesce(col("hist"), lit(0L)) > 1)
+        .select("lh")
+      val kept = units.join(over, Seq("lh"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_line_count"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(line_idx, lh))), s -> s.lh)")))
+            .as("scrub_hash"))
+      units.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("kept_line_count"), lit(0L)).as("kept_line_count"),
+          coalesce(col("scrub_hash"), md5(lit(""))).as("scrub_hash"))
+    }),
+
     // --- DD10: LINE-level cross-corpus dedup (round-5 verdict item #4) —
     //     the C4/CCNet boilerplate strip: explode docs into line units
     //     (newline split, 8-word fallback segmentation — graft.ops
@@ -1453,6 +1484,29 @@ object OpsQueries {
           |SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS is_contaminated
           |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
           |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
+      // The incremental split form: history counts from doc_id < 250,
+      // batch docs >= 250 stripped when history + batch count > 1.
+      "q_incremental_linededup" ->
+        """WITH u0 AS (SELECT doc_id, string_split(lower(text), chr(10)) AS lines FROM documents),
+          |u1 AS (SELECT doc_id, flatten(list_transform(lines, l -> list_transform(
+          |    generate_series(1, greatest(1, CAST(ceil(len(string_split(l, ' ')) / 8.0) AS INT))),
+          |    u -> md5(array_to_string(string_split(l, ' ')[(u-1)*8+1 : (u-1)*8+8], ' '))))) AS lhs
+          |  FROM u0),
+          |units AS (SELECT doc_id, unnest(lhs) AS lh, unnest(generate_series(1, len(lhs))) AS line_idx FROM u1),
+          |hist AS (SELECT lh, count(*) AS hc FROM units WHERE doc_id < 250 GROUP BY lh),
+          |bu AS (SELECT * FROM units WHERE doc_id >= 250),
+          |over AS (SELECT b.lh FROM (SELECT lh, count(*) AS cnt FROM bu GROUP BY lh) b
+          |  LEFT JOIN hist ON b.lh = hist.lh
+          |  WHERE b.cnt + coalesce(hist.hc, 0) > 1),
+          |kept AS (SELECT u.doc_id, count(*) AS kept_line_count,
+          |    md5(array_to_string(list(u.lh ORDER BY u.line_idx), ' ')) AS scrub_hash
+          |  FROM bu u LEFT JOIN over ON u.lh = over.lh
+          |  WHERE over.lh IS NULL GROUP BY u.doc_id),
+          |tot AS (SELECT doc_id, count(*) AS n_lines FROM bu GROUP BY doc_id)
+          |SELECT t.doc_id, t.n_lines,
+          |  coalesce(k.kept_line_count, 0) AS kept_line_count,
+          |  coalesce(k.scrub_hash, md5('')) AS scrub_hash
+          |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin.replace("\n", " "),
       // Unit arrays mirror LineDedup.unitArraySql exactly: newline split,
       // 8-word segments, one unit minimum per line; idx base differs
       // (0- vs 1-based) but only the ORDER reaches the scrub hash.
