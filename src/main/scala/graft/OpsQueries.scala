@@ -524,6 +524,30 @@ object OpsQueries {
       graft.ops.SubstringDedup.scrub(docs(s, dir), "text")
     }),
 
+    // --- DD11c: INCREMENTAL substring dedup (round 6) — scrub a NEW
+    //     batch's verbatim spans against historical k-gram counts (the
+    //     daily-ingest shape; corpus split at doc_id 250 into
+    //     history/batch so the oracle can mirror it — the persisted
+    //     bucketed count-store flow with its exactly-once commit
+    //     protocol is exercised in IncrementalSubstringDedupSpec). A
+    //     position is a hit when history + batch gram occurrences reach
+    //     the threshold; history itself is never re-scrubbed (the
+    //     incremental contract). ---
+    "q_incremental_substring" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.SubstringDedup
+      val d = docs(s, dir)
+      val histCounts = SubstringDedup.positionedGrams(d.filter(col("doc_id") < 250))
+        .groupBy("gh").agg(count(lit(1)).as("hist"))
+      val grams = SubstringDedup.positionedGrams(d.filter(col("doc_id") >= 250))
+      val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+        .join(histCounts, Seq("gh"), "left")
+        .filter(col("cnt") + coalesce(col("hist"), lit(0L)) >= 2)
+        .select("gh")
+      val hits = grams.join(dup, Seq("gh"), "left_semi").select("doc_id", "pos")
+      SubstringDedup.scrubFromSpans(d.filter(col("doc_id") >= 250),
+        SubstringDedup.spansFromHits(hits), "text")
+    }),
+
     // --- DD4: SimHash fingerprint (64-bit, md5-derived bit hashes; the
     //     digest is parsed as two 32-bit halves so each word costs two
     //     conv() calls, not 64 per-character probes) ---
@@ -1589,6 +1613,42 @@ object OpsQueries {
           |  CAST(coalesce(kept.kc, 0) AS INT) AS kept_tokens,
           |  coalesce(kept.kh, md5('')) AS scrub_hash
           |FROM w LEFT JOIN kept USING (doc_id)""".stripMargin.replace("\n", " "),
+      // The incremental split form of the substring scrub: gram history
+      // from doc_id < 250, batch positions >= 250 hit when history +
+      // batch gram count >= 2; same run-merge and cut tail.
+      "q_incremental_substring" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(generate_series(1, len(ws) - 7)) AS pos,
+          |    unnest(list_transform(generate_series(1, len(ws) - 7),
+          |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS gh
+          |  FROM w WHERE len(ws) >= 8),
+          |hist AS (SELECT gh, count(*) AS hc FROM g WHERE doc_id < 250 GROUP BY gh),
+          |bg AS (SELECT * FROM g WHERE doc_id >= 250),
+          |dup AS (SELECT b.gh FROM (SELECT gh, count(*) AS cnt FROM bg GROUP BY gh) b
+          |  LEFT JOIN hist ON b.gh = hist.gh
+          |  WHERE b.cnt + coalesce(hist.hc, 0) >= 2),
+          |h AS (SELECT bg.doc_id, bg.pos FROM bg JOIN dup ON bg.gh = dup.gh),
+          |r AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM h),
+          |runs AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM r),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 - min(pos) + 1 AS l
+          |  FROM runs GROUP BY doc_id, run_id),
+          |bw AS (SELECT * FROM w WHERE doc_id >= 250),
+          |toks AS (SELECT doc_id, unnest(ws) AS tw, unnest(generate_series(1, len(ws))) AS i FROM bw),
+          |kept AS (SELECT t.doc_id, count(*) AS kc,
+          |    md5(string_agg(t.tw, ' ' ORDER BY t.i)) AS kh
+          |  FROM toks t
+          |  WHERE NOT EXISTS (SELECT 1 FROM sp
+          |    WHERE sp.doc_id = t.doc_id AND t.i >= sp.s AND t.i < sp.s + sp.l)
+          |  GROUP BY t.doc_id)
+          |SELECT bw.doc_id, CAST(len(bw.ws) AS INT) AS n_tokens,
+          |  CAST(coalesce(kept.kc, 0) AS INT) AS kept_tokens,
+          |  coalesce(kept.kh, md5('')) AS scrub_hash
+          |FROM bw LEFT JOIN kept USING (doc_id)""".stripMargin.replace("\n", " "),
       "tx_chunk" ->
         """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
           |x AS (SELECT doc_id, ws,

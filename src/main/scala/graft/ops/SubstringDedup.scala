@@ -70,11 +70,18 @@ object SubstringDedup {
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccurrences)
       .select("gh")
-    val hits = grams.join(dup, Seq("gh"), "left_semi")
-      .select("doc_id", "pos")
-    // merge hit positions into maximal spans: a new run starts when the
-    // gap to the previous hit exceeds k (covers neither overlap nor
-    // touch); run_id = running count of starts, per doc
+    spansFromHits(grams.join(dup, Seq("gh"), "left_semi").select("doc_id", "pos"), k)
+  }
+
+  /** Merge duplicated-k-gram hit positions `(doc_id, pos)` into maximal
+    * spans `(doc_id, span_start, span_tokens)`: a new run starts when
+    * the gap to the previous hit exceeds k (covers neither overlap nor
+    * touch); run_id = running count of starts, per doc. Shared by the
+    * whole-corpus [[spans]] and the cross-batch
+    * [[IncrementalSubstringDedup]] (which derives its hit set against a
+    * persisted historical count store instead of the corpus-wide count).
+    */
+  def spansFromHits(hits: DataFrame, k: Int = DefaultK): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val runs = hits
       .withColumn("brk",
@@ -105,8 +112,17 @@ object SubstringDedup {
       textCol: String = "text",
       k: Int = DefaultK,
       minOccurrences: Int = 2
+  ): DataFrame =
+    scrubFromSpans(df, spans(df, textCol, k, minOccurrences), textCol)
+
+  /** The cut stage of [[scrub]] against an externally-derived span set
+    * (shared with [[IncrementalSubstringDedup]]). */
+  def scrubFromSpans(
+      df: DataFrame,
+      spanRows: DataFrame,
+      textCol: String = "text"
   ): DataFrame = {
-    val spanArrays = spans(df, textCol, k, minOccurrences)
+    val spanArrays = spanRows
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"), col("span_tokens").as("l")))
         .as("sp"))

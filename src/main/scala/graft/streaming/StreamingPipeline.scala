@@ -469,6 +469,57 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming line-level dedup — `graft.ops.IncrementalLineDedup`
+    * under foreachBatch: each micro-batch of docs `(doc_id, text)` is
+    * scrubbed against the bucketed historical unit-count store (the
+    * C4-style boilerplate strip in its streaming execution form,
+    * completing the full-rebuild / incremental-batch / streaming trio
+    * the near-dup and packing operators already have). Exactly-once via
+    * the store's own protocol: batch_id-partitioned replace for docs
+    * AND counts, marker last, foreachBatch's ascending batch ids
+    * satisfying the fail-fast ordering contract.
+    */
+  def lineDedupSink(
+      docs: DataFrame, // streaming (doc_id: long, text: string)
+      catalogRoot: String,
+      checkpoint: String,
+      maxOccurrences: Int = 1,
+      storeBuckets: Int = 16
+  ): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IncrementalLineDedup.processBatch(
+          new graft.sink.TranscriptCatalog(catalogRoot, batch.sparkSession),
+          batch, batchId, maxOccurrences = maxOccurrences,
+          nBuckets = storeBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Streaming substring dedup — `graft.ops.IncrementalSubstringDedup`
+    * under foreachBatch: each micro-batch of docs `(doc_id, text)` has
+    * its verbatim repeated spans (vs history AND within the batch) cut
+    * against the bucketed historical k-gram count store. Same
+    * exactly-once protocol as [[lineDedupSink]].
+    */
+  def substringDedupSink(
+      docs: DataFrame, // streaming (doc_id: long, text: string)
+      catalogRoot: String,
+      checkpoint: String,
+      k: Int = graft.ops.SubstringDedup.DefaultK,
+      minOccurrences: Int = 2,
+      storeBuckets: Int = 16
+  ): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IncrementalSubstringDedup.processBatch(
+          new graft.sink.TranscriptCatalog(catalogRoot, batch.sparkSession),
+          batch, batchId, k = k, minOccurrences = minOccurrences,
+          nBuckets = storeBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** `processExportBatch` as a foreachBatch stream sink. */
   def exportSink(
       docs: DataFrame,

@@ -364,4 +364,71 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toString).toSeq
     streamed shouldBe batch
   }
+
+  test("streaming line dedup strips cross-batch boilerplate from later batches only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = tmpDir("stream-linededup")
+    val cp = tmpDir("stream-linededup-cp")
+    def run(): Unit = {
+      val q = StreamingPipeline.lineDedupSink(
+        mem.toDF().toDF("doc_id", "text"), out, cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val boiler = "subscribe to our newsletter"
+    // batch 0: boilerplate appears once — under the threshold, kept
+    mem.addData(
+      1L -> s"alpha beta gamma\n$boiler",
+      2L -> "delta epsilon zeta")
+    run()
+    // batch 1: the boilerplate again (strips — history has it), a
+    // within-batch repeated line (strips on its own), fresh content
+    mem.addData(
+      10L -> s"eta theta iota\n$boiler",
+      11L -> "kappa lambda mu\nkappa lambda mu",
+      12L -> "nu xi omicron")
+    run()
+    val rows = spark.read.parquet(s"$out/${graft.ops.IncrementalLineDedup.DocsTable}")
+      .select("doc_id", "n_lines", "kept_line_count")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows(1L) shouldBe ((2L, 2L)) // history untouched by batch 1
+    rows(2L) shouldBe ((1L, 1L))
+    rows(10L) shouldBe ((2L, 1L)) // boilerplate line stripped
+    rows(11L) shouldBe ((2L, 0L)) // both copies of the repeated line strip
+    rows(12L) shouldBe ((1L, 1L))
+    // both batches committed; the count store carries both batch partitions
+    new graft.sink.TranscriptCatalog(out, spark)
+      .listPartitionValues(graft.ops.IncrementalLineDedup.MarkerTable, "batch_id")
+      .sorted shouldBe Seq("0", "1")
+  }
+
+  test("streaming substring dedup cuts spans repeated against history") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = tmpDir("stream-subdedup")
+    val cp = tmpDir("stream-subdedup-cp")
+    def run(): Unit = {
+      val q = StreamingPipeline.substringDedupSink(
+        mem.toDF().toDF("doc_id", "text"), out, cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val boiler = "please subscribe to our newsletter for more updates today"
+    // batch 0: the sentence appears once — kept whole
+    mem.addData(1L -> s"one two three four five six seven eight $boiler")
+    run()
+    // batch 1: the same sentence again — the span cuts from batch 1 only
+    mem.addData(
+      10L -> s"kappa lambda mu nu xi omicron pi rho $boiler",
+      11L -> "nova quasar pulsar comet meteor nebula galaxy cluster")
+    run()
+    val rows = spark.read.parquet(s"$out/${graft.ops.IncrementalSubstringDedup.DocsTable}")
+      .select("doc_id", "n_tokens", "kept_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    rows(1L) shouldBe ((17, 17)) // history untouched
+    rows(10L) shouldBe ((17, 8)) // the 9-token span cut
+    rows(11L) shouldBe ((8, 8))
+    new graft.sink.TranscriptCatalog(out, spark)
+      .listPartitionValues(graft.ops.IncrementalSubstringDedup.MarkerTable, "batch_id")
+      .sorted shouldBe Seq("0", "1")
+  }
 }
