@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.app.{CorpusConfig, CorpusJob}
+import graft.sink.TranscriptCatalog
+
+/** The corpus release JOB (graft.app.CorpusJob): pinned to the catalog
+  * queries' constants it reproduces the oracled corpus_export_split /
+  * corpus_stats chain byte-for-byte, a run without an eval set skips
+  * decontamination exactly, and reruns converge (idempotent overwrite).
+  */
+class CorpusJobSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // The catalog queries' constants (OpsQueries): quality ≥ 0.4, 2×1
+  // MinHash banding, en=4000 / other=1500 token budgets, 512-token
+  // packs, prefix sums forced to recurse (blockSize 25, maxTopRows 8).
+  private val catalogCfg = CorpusConfig(
+    qualityMin = 0.4, minhashBands = 2, minhashRows = 1,
+    budgets = Map("en" -> 4000L), budgetDefault = 1500L,
+    packBudget = 512, blockSize = 25, maxTopRows = 8)
+
+  private def docsAll = spark.read.parquet(s"$dir/documents.parquet")
+  private def train = docsAll.filter(col("doc_id") < 450)
+  private def eval = docsAll.filter(col("doc_id") >= 450)
+
+  test("the job reproduces the oracled export chain at the catalog constants") {
+    val out = tmpDir("corpusjob-identity")
+    CorpusJob.run(spark, train, Some(eval), out, catalogCfg)
+    val catalog = new TranscriptCatalog(out, spark)
+
+    val jobPacks = catalog.read("release_packs")
+      .select("doc_id", "pack_id", "seg_off", "seg_len", "pack_pos")
+      .collect().map(_.toString).sorted
+    val oraclePacks = OpsQueries.queries("corpus_export_split")(spark, dir)
+      .select("doc_id", "pack_id", "seg_off", "seg_len", "pack_pos")
+      .collect().map(_.toString).sorted
+    jobPacks shouldBe oraclePacks
+
+    val jobFunnel = catalog.read("release_funnel")
+      .collect().map(_.toString).sorted
+    val oracleFunnel = OpsQueries.queries("corpus_stats")(spark, dir)
+      .collect().map(_.toString).sorted
+    jobFunnel shouldBe oracleFunnel
+  }
+
+  test("without an eval set the decontamination stage passes everything through") {
+    val out = tmpDir("corpusjob-noeval")
+    val result = CorpusJob.run(spark, train, None, out, catalogCfg)
+    result.metrics("docs_decontam") shouldBe result.metrics("docs_neardup")
+    result.metrics("tokens_decontam") shouldBe result.metrics("tokens_neardup")
+    // and WITH the eval set it strictly gates (the sf0.001 corpus plants
+    // cross-split contamination)
+    val out2 = tmpDir("corpusjob-eval")
+    val gated = CorpusJob.run(spark, train, Some(eval), out2, catalogCfg)
+    gated.metrics("docs_decontam") should be < result.metrics("docs_decontam")
+  }
+
+  test("the funnel is monotone and the packs tile the mixed tokens exactly") {
+    val out = tmpDir("corpusjob-funnel")
+    val result = CorpusJob.run(spark, train, Some(eval), out, catalogCfg)
+    val m = result.metrics
+    m("docs_train") should be >= m("docs_quality")
+    m("docs_quality") should be >= m("docs_exact_dedup")
+    m("docs_exact_dedup") should be >= m("docs_neardup")
+    m("docs_neardup") should be >= m("docs_decontam")
+    m("docs_decontam") should be >= m("docs_mixed")
+    val catalog = new TranscriptCatalog(out, spark)
+    val segSum = catalog.read("release_packs")
+      .agg(sum("seg_len")).collect()(0).getLong(0)
+    val mixedTokens = catalog.read("release_docs")
+      .agg(sum("tokens")).collect()(0).getLong(0)
+    segSum shouldBe mixedTokens
+    // every pack except the last holds exactly packBudget tokens
+    val packTotals = catalog.read("release_packs")
+      .groupBy("pack_id").agg(sum("seg_len").as("t"))
+      .orderBy("pack_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    packTotals.dropRight(1).foreach(_._2 shouldBe 512L)
+  }
+
+  test("a rerun converges byte-identically (idempotent overwrite)") {
+    val out = tmpDir("corpusjob-rerun")
+    val r1 = CorpusJob.run(spark, train, Some(eval), out, catalogCfg)
+    val catalog = new TranscriptCatalog(out, spark)
+    def snapshot() = Seq("release_docs", "release_packs", "release_funnel")
+      .map(t => t -> catalog.read(t).collect().map(_.toString).sorted.toSeq)
+      .toMap
+    val s1 = snapshot()
+    val r2 = CorpusJob.run(spark, train, Some(eval), out, catalogCfg)
+    r2.metrics shouldBe r1.metrics
+    snapshot() shouldBe s1
+  }
+}
