@@ -26,7 +26,9 @@ final case class CorpusConfig(
     budgetDefault: Long = Long.MaxValue / 2,
     packBudget: Int = 512,
     blockSize: Long = 4096,
-    maxTopRows: Long = 65536)
+    maxTopRows: Long = 65536,
+    scrubLines: Boolean = false,
+    scrubSpans: Boolean = false)
 
 /** The corpus release pipeline as a runnable batch JOB — the
   * operational twin of the oracle-checked `corpus_export` /
@@ -66,12 +68,30 @@ object CorpusJob {
 
   def run(
       spark: SparkSession,
-      train: DataFrame, // (doc_id: long, lang: string, text: string)
+      rawTrain: DataFrame, // (doc_id: long, lang: string, text: string)
       evalDocs: Option[DataFrame], // (doc_id, text) held-out eval split
       outRoot: String,
       cfg: CorpusConfig = CorpusConfig()
   ): CorpusResult = {
     val catalog = new TranscriptCatalog(outRoot, spark)
+
+    // Stage 0 (optional): text scrubs — strip corpus-repeated line units
+    // (the C4 boilerplate pass) and/or verbatim repeated substring spans
+    // (the Lee et al. 2022 pass) BEFORE any gating, so quality scores,
+    // content hashes, near-dup signatures and token budgets all see the
+    // text a training run would. Each scrub is one corpus-wide hash
+    // count plus the single inherent text-bearing join; substring runs
+    // second so it also catches spans a line strip exposes.
+    val scrubbedOnce =
+      if (cfg.scrubLines) graft.ops.LineDedup.scrubText(rawTrain, "text")
+      else rawTrain
+    val scrubbed =
+      if (cfg.scrubSpans) graft.ops.SubstringDedup.scrubText(scrubbedOnce, "text")
+      else scrubbedOnce
+    // A scrubbed frame feeds five downstream stages — materialize it once.
+    val train =
+      if (cfg.scrubLines || cfg.scrubSpans) scrubbed.localCheckpoint()
+      else rawTrain
 
     // Stage 1: quality gate (the hashed-vocab linear classifier) + the
     // content hash the exact dedup keys on. One pass over the text.
@@ -171,6 +191,8 @@ object CorpusJob {
   *     [--eval <eval parquet>] [--quality-min 0.4]
   *     [--budgets en=4000,fr=1500] [--budget-default N]
   *     [--pack-budget 512] [--bands 8] [--rows 4] [--master local[N]]
+  *     [--scrub lines,spans]  (pre-gate boilerplate-line strip and/or
+  *                             verbatim-span cut, in that order)
   *
   * The input parquet must carry (doc_id: long, lang: string,
   * text: string) — the `documents` table shape.
@@ -207,7 +229,9 @@ object CorpusMain {
       budgets = budgets,
       budgetDefault = opts.get("--budget-default").map(_.toLong)
         .getOrElse(Long.MaxValue / 2),
-      packBudget = opts.getOrElse("--pack-budget", "512").toInt)
+      packBudget = opts.getOrElse("--pack-budget", "512").toInt,
+      scrubLines = opts.get("--scrub").exists(_.split(",").contains("lines")),
+      scrubSpans = opts.get("--scrub").exists(_.split(",").contains("spans")))
 
     val t0 = System.nanoTime()
     val result = CorpusJob.run(spark,

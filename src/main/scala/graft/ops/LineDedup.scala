@@ -41,6 +41,17 @@ object LineDedup {
        |    u -> md5(concat_ws(' ', slice(split(l, ' '), (u - 1) * $UnitWords + 1, $UnitWords))))))"""
       .stripMargin.replace("\n", " ")
 
+  /** The CASED twin of [[unitArraySql]]: the unit texts themselves, at
+    * the same indices (lowercasing never moves a whitespace boundary,
+    * so the two arrays align position-for-position). Used only by
+    * [[scrubText]] — the hash-only operators never materialize it.
+    */
+  private def casedUnitArraySql(textCol: String): String =
+    s"""flatten(transform(split($textCol, chr(10)), l ->
+       |  transform(sequence(1, greatest(1, CAST(ceil(size(split(l, ' ')) / ${UnitWords}.0) AS INT))),
+       |    u -> concat_ws(' ', slice(split(l, ' '), (u - 1) * $UnitWords + 1, $UnitWords)))))"""
+      .stripMargin.replace("\n", " ")
+
   /** (doc_id, line_idx, lh): every line unit of every doc, in document
     * order (line_idx is 0-based). One Generate + projection; unit TEXT
     * never leaves the map task — only its md5.
@@ -77,5 +88,40 @@ object LineDedup {
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("kept_line_count"), lit(0L)).as("kept_line_count"),
         coalesce(col("scrub_hash"), md5(lit(""))).as("scrub_hash"))
+  }
+
+  /** [[scrub]]'s TEXT-emitting twin: `textCol` is REPLACED by the
+    * surviving units (original case), all other columns pass through —
+    * the form a release pipeline chains into downstream stages (the
+    * hash-only [[scrub]] is for fingerprint/audit outputs where text
+    * must never move). Whitespace is normalized: kept units rejoin with
+    * single spaces (newlines do not survive — the corpus tokenization
+    * convention is whitespace splitting throughout, so this changes no
+    * downstream hash or count), and a fully-stripped doc becomes "".
+    *
+    * Scale note: unlike [[scrub]], this necessarily moves text ONCE —
+    * the per-doc kept-index arrays (ids-only aggregation) hash-join
+    * back to the docs by doc_id. That single text shuffle is inherent
+    * to any rewrite; everything upstream of it is still hashes.
+    */
+  def scrubText(
+      df: DataFrame,
+      textCol: String = "text",
+      maxOccurrences: Int = 1
+  ): DataFrame = {
+    val units = unitHashes(df, textCol)
+    val repeated = units.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxOccurrences)
+      .select("lh")
+    val keptIdx = units.join(repeated, Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("line_idx")).as("__keep"))
+    df.withColumn("__units", expr(casedUnitArraySql(textCol)))
+      .join(keptIdx, Seq("doc_id"), "left")
+      .withColumn(textCol,
+        when(col("__keep").isNull, lit(""))
+          .otherwise(concat_ws(" ",
+            expr("transform(__keep, i -> element_at(__units, i + 1))"))))
+      .drop("__units", "__keep")
   }
 }

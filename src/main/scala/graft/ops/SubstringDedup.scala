@@ -142,4 +142,38 @@ object SubstringDedup {
         size(col("__kept")).as("kept_tokens"),
         md5(concat_ws(" ", col("__kept"))).as("scrub_hash"))
   }
+
+  /** [[scrub]]'s TEXT-emitting twin: `textCol` is REPLACED by the token
+    * stream with every duplicated span cut (original case — span
+    * positions come from lowered grams, but lowercasing never moves a
+    * whitespace boundary, so the cased token array aligns
+    * position-for-position), all other columns pass through. The form a
+    * release pipeline chains into downstream stages; whitespace
+    * normalizes to single spaces (the corpus tokenization convention
+    * throughout), and a fully-cut doc becomes "". Same row-local
+    * zip_with/filter cut as [[scrub]] — no token-level explode; the
+    * span arrays join back by doc_id, the one text-bearing join.
+    */
+  def scrubText(
+      df: DataFrame,
+      textCol: String = "text",
+      k: Int = DefaultK,
+      minOccurrences: Int = 2
+  ): DataFrame = {
+    val spanArrays = spans(df, textCol, k, minOccurrences)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_tokens").as("l")))
+        .as("__sp"))
+    df.withColumn("__ws", split(col(textCol), " "))
+      .join(spanArrays, Seq("doc_id"), "left")
+      .withColumn(textCol, expr(
+        """CASE WHEN __sp IS NULL THEN concat_ws(' ', __ws) ELSE
+          |  concat_ws(' ', transform(
+          |    filter(zip_with(__ws, sequence(1, size(__ws)),
+          |        (w, i) -> named_struct('w', w, 'i', i)),
+          |      p -> NOT exists(__sp, s -> p.i >= s.s AND p.i < s.s + s.l)),
+          |    p -> p.w))
+          |END""".stripMargin.replace("\n", " ")))
+      .drop("__ws", "__sp")
+  }
 }

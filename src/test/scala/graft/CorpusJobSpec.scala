@@ -79,6 +79,24 @@ class CorpusJobSpec extends SparkSpecBase {
     packTotals.dropRight(1).foreach(_._2 shouldBe 512L)
   }
 
+  test("pre-gate scrubs shrink the funnel's token counts, never its doc count") {
+    val base = tmpDir("corpusjob-noscrub")
+    val noScrub = CorpusJob.run(spark, train, None, base, catalogCfg)
+    val out = tmpDir("corpusjob-scrub")
+    val scrubbed = CorpusJob.run(spark, train, None, out,
+      catalogCfg.copy(scrubLines = true, scrubSpans = true))
+    // the sf0.001 corpus plants repeated boilerplate, so the scrubs bite
+    scrubbed.metrics("tokens_train") should be < noScrub.metrics("tokens_train")
+    scrubbed.metrics("docs_train") shouldBe noScrub.metrics("docs_train")
+    // and the release still packs exactly
+    val catalog = new TranscriptCatalog(out, spark)
+    val segSum = catalog.read("release_packs")
+      .agg(sum("seg_len")).collect()(0).getLong(0)
+    val mixedTokens = catalog.read("release_docs")
+      .agg(sum("tokens")).collect()(0).getLong(0)
+    segSum shouldBe mixedTokens
+  }
+
   test("a rerun converges byte-identically (idempotent overwrite)") {
     val out = tmpDir("corpusjob-rerun")
     val r1 = CorpusJob.run(spark, train, Some(eval), out, catalogCfg)

@@ -72,4 +72,29 @@ class LineDedupSpec extends SparkSpecBase {
     out.getLong(2) shouldBe 2L
     out.getString(3) shouldBe md5(units.map(_._2).mkString(" "))
   }
+
+  test("scrubText emits the surviving units as text, case preserved, other columns intact") {
+    val boiler = "Subscribe To Our Newsletter"
+    val docs = Seq(
+      (1L, "en", s"Alpha BETA gamma\n$boiler"),
+      (2L, "fr", s"delta Epsilon zeta\n$boiler"),
+      (3L, "en", boiler), // pure boilerplate: everything stripped
+      (4L, "de", "Eta theta Iota")
+    ).toDF("doc_id", "lang", "text")
+    val out = LineDedup.scrubText(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    out(1L) shouldBe (("en", "Alpha BETA gamma"))
+    out(2L) shouldBe (("fr", "delta Epsilon zeta"))
+    out(3L) shouldBe (("en", ""))
+    out(4L) shouldBe (("de", "Eta theta Iota"))
+    // identity with the hash-only scrub: the lowered rebuilt text's unit
+    // hashes reproduce each doc's scrub fingerprint
+    val rescored = LineDedup.scrub(LineDedup.scrubText(docs).filter($"text" =!= ""))
+      .select("doc_id", "scrub_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = LineDedup.scrub(docs)
+      .select("doc_id", "scrub_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rescored.foreach { case (id, h) => h shouldBe direct(id) }
+  }
 }

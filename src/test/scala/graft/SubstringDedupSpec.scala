@@ -100,4 +100,29 @@ class SubstringDedupSpec extends SparkSpecBase {
       case _ =>
     }
   }
+
+  test("scrubText cuts the spans from the cased token stream, other columns intact") {
+    val span = words("s", 12)
+    val a = (Seq("Aa", "BB", "cC") ++ span ++ Seq("X1", "X2")).mkString(" ")
+    val b = (Seq("bZ") ++ span ++ Seq("Y1", "Y2", "Y3")).mkString(" ")
+    val clean = "U1 U2 U3 U4 U5 U6 U7 U8 U9"
+    val out = graft.ops.SubstringDedup.scrubText(
+        Seq((1L, "en", a), (2L, "fr", b), (3L, "de", clean))
+          .toDF("doc_id", "lang", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    out(1L) shouldBe (("en", "Aa BB cC X1 X2"))
+    out(2L) shouldBe (("fr", "bZ Y1 Y2 Y3"))
+    out(3L) shouldBe (("de", clean))
+    // identity with the hash-only scrub: lowered scrubbed text hashes to
+    // each doc's scrub fingerprint
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val direct = graft.ops.SubstringDedup.scrub(
+        Seq((1L, a), (2L, b), (3L, clean)).toDF("doc_id", "text"))
+      .select("doc_id", "scrub_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (_, t)) => md5(t.toLowerCase) shouldBe direct(id) }
+  }
 }
