@@ -438,6 +438,30 @@ object OpsQueries {
           coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
     }),
 
+    // --- DD9b: dd_decontam_ngram with the map-side Bloom pre-gate
+    //     (graft.functions.BloomMightContain) — the 100 TB form of the
+    //     gate: a sketch of the (small) eval-gram store probes every
+    //     training gram INSIDE the scan stage, so the ~99% of grams that
+    //     match nothing never reach the exchange; the exact semi-join over
+    //     the survivors removes the sketch's false positives, making the
+    //     output bit-identical (same DuckDB oracle as dd_decontam_ngram;
+    //     DecontamSpec holds the equality + plan-position gates). ---
+    "dd_decontam_bloom" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
+        .select("gh").distinct()
+      val sketch = graft.ops.Decontam.gramBloom(evalGrams)
+      val hit = gramHashes(d.filter(col("doc_id") < 450))
+        .filter(graft.functions.BloomMightContain.mightContain(col("gh"), sketch))
+        .join(evalGrams, Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("is_contaminated", lit(true))
+      d.select("doc_id").filter(col("doc_id") < 450)
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+    }),
+
     // --- DD10b: INCREMENTAL line dedup (round 6) — scrub a NEW batch
     //     against historical unit counts (the daily-ingest shape; corpus
     //     split at doc_id 250 into history/batch so the oracle can mirror
@@ -1272,6 +1296,22 @@ object OpsQueries {
     })
   )
 
+  /** The n-gram decontamination oracle, shared verbatim by the ungated
+    * (dd_decontam_ngram) and Bloom-pre-gated (dd_decontam_bloom) forms —
+    * the sketch only prunes the exchange, never the result.
+    */
+  private val DecontamNgramSql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(ws) - 7),
+      |    i -> md5(array_to_string(ws[i:i+7], ' '))))) AS gh
+      |  FROM w WHERE len(ws) >= 8),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id >= 450),
+      |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gh) WHERE g.doc_id < 450)
+      |SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS is_contaminated
+      |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+      |WHERE d.doc_id < 450""".stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] = {
     val simhashSums = (0 until SimhashBits).map { i =>
       val (src, sh) = if (i < 32) ("hA", i) else ("hB", i - 32)
@@ -1497,17 +1537,11 @@ object OpsQueries {
            |SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_contaminated
            |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
            |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
-      "dd_decontam_ngram" ->
-        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-          |    generate_series(1, len(ws) - 7),
-          |    i -> md5(array_to_string(ws[i:i+7], ' '))))) AS gh
-          |  FROM w WHERE len(ws) >= 8),
-          |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id >= 450),
-          |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gh) WHERE g.doc_id < 450)
-          |SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS is_contaminated
-          |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
-          |WHERE d.doc_id < 450""".stripMargin.replace("\n", " "),
+      "dd_decontam_ngram" -> DecontamNgramSql,
+      // The Bloom pre-gate never changes the result set (false positives
+      // are removed by the exact semi-join), so the bloom form shares the
+      // ungated oracle verbatim.
+      "dd_decontam_bloom" -> DecontamNgramSql,
       // The incremental split form: history counts from doc_id < 250,
       // batch docs >= 250 stripped when history + batch count > 1.
       "q_incremental_linededup" ->

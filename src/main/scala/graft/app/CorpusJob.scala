@@ -123,8 +123,15 @@ object CorpusJob {
     val clean = evalDocs match {
       case Some(ev) =>
         val evalGrams = Decontam.gramHashes(ev, "text").select("gh").distinct()
+        // Bloom pre-gate (round-6): the training corpus is the huge side
+        // of this semi-join; probing a sketch of the (small) eval grams
+        // inside the scan stage keeps definite-miss grams off the
+        // exchange, and the exact semi-join removes the sketch's false
+        // positives — identical output, ~fpp of the shuffle volume.
+        val sketch = Decontam.gramBloom(evalGrams)
         val contaminated = Decontam.gramHashes(train, "text")
           .join(kept, Seq("doc_id"), "left_semi")
+          .filter(graft.functions.BloomMightContain.mightContain(col("gh"), sketch))
           .join(evalGrams, Seq("gh"), "left_semi")
           .select("doc_id").distinct()
         kept.join(contaminated, Seq("doc_id"), "left_anti")

@@ -138,6 +138,95 @@ object Decontam {
       .join(store.select("gh"), Seq("gh"), "left_semi")
       .select("doc_id").distinct()
 
+  /** A broadcastable Bloom sketch of the store's gram hashes — built once
+    * per eval-set version (distributed `treeAggregate` under
+    * `stat.bloomFilter`; the store is the SMALL side, one narrow scan),
+    * ~1.2 MB per million grams at the default 1% fpp.
+    *
+    * `expectedItems ≤ 0` sizes the sketch from an exact store count (one
+    * extra metadata-cheap scan of the small side); pass the known gram
+    * count to skip it. A mis-sized sketch only degrades the false-positive
+    * rate, never correctness — the exact semi-join downstream removes
+    * every false positive.
+    */
+  def gramBloom(
+      store: DataFrame,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01
+  ): org.apache.spark.util.sketch.BloomFilter = {
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(store.count(), 64L)
+    store.stat.bloomFilter("gh", n, fpp)
+  }
+
+  /** Sidecar file holding the persisted gram sketch (under the gram
+    * table's directory; `_`-prefixed so parquet scans ignore it).
+    */
+  val SketchBlob: String = "_gram_bloom"
+
+  /** The persisted-sketch lifecycle: load the gram Bloom sketch if it is
+    * CURRENT, else rebuild from the committed store and persist.
+    *
+    * Staleness safety: a sketch missing grams of a newly committed eval
+    * set would make the pre-gate silently DROP that set's contaminated
+    * grams before the exact join — a false-negative release gate, the one
+    * failure a decontamination pass must never have. So the blob embeds
+    * the exact committed-set list (and fpp) it was built from, and a load
+    * whose current `committedSets` differs REBUILDS instead of trusting
+    * the file. Publish crashes need no special casing: the sketch is
+    * derived state, validated on every load against the manifest, and the
+    * blob write itself is temp+rename atomic ([[graft.sink.TranscriptCatalog.writeBlob]]).
+    * Single-writer publish assumed (same as the store's stage protocol).
+    *
+    * Cost shape at 100 TB: the rebuild scans only the EVAL store (small
+    * side, once per eval-set change — rare); every daily ingest then pays
+    * zero store-side work for the pre-gate.
+    */
+  def loadOrBuildGramBloom(
+      catalog: graft.sink.TranscriptCatalog,
+      nBuckets: Int = 16,
+      fpp: Double = 0.01
+  ): org.apache.spark.util.sketch.BloomFilter = {
+    val header = committedSets(catalog).sorted.mkString(",") + s";fpp=$fpp"
+    catalog.readBlob(GramTable, SketchBlob).foreach { bytes =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val hb = new Array[Byte](in.readInt()); in.readFully(hb)
+      if (new String(hb, "UTF-8") == header)
+        return org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    }
+    val sketch = gramBloom(evalGramStore(catalog, nBuckets), fpp = fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    val hb = header.getBytes("UTF-8")
+    dos.writeInt(hb.length); dos.write(hb)
+    sketch.writeTo(dos); dos.close()
+    catalog.writeBlob(GramTable, SketchBlob, bos.toByteArray)
+    sketch
+  }
+
+  /** [[contaminatedIds]] with a map-side Bloom pre-gate
+    * (graft.functions.BloomMightContain): the batch's gram rows are
+    * probed against the store sketch INSIDE the scan stage, so the
+    * ~(1 − fpp) of grams that match nothing never reach the exchange —
+    * at 100 TB the gate's cost collapses from "shuffle every gram of the
+    * corpus" to "shuffle the contaminated grams plus fpp noise". The
+    * exact semi-join still runs over the survivors, so the result is
+    * bit-identical to the ungated gate (DecontamSpec asserts equality and
+    * the pre-exchange plan position; dd_decontam_bloom shares
+    * dd_decontam_ngram's DuckDB oracle).
+    */
+  def contaminatedIdsBloom(
+      docs: DataFrame,
+      store: DataFrame,
+      sketch: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String = "text",
+      n: Int = DefaultN
+  ): DataFrame =
+    gramHashes(docs, textCol, n)
+      .filter(graft.functions.BloomMightContain.mightContain(col("gh"), sketch))
+      .join(store.select("gh"), Seq("gh"), "left_semi")
+      .select("doc_id").distinct()
+
   /** The AUDIT TRAIL behind `contaminatedIds` (round-5 verdict item #2):
     * one row per (training doc, eval doc) pair that shares at least one
     * stored n-gram, with the shared-gram count — the evidence an operator

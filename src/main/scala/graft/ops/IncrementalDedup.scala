@@ -69,6 +69,48 @@ object IncrementalDedup {
       .join(store.select("band_idx", "band_hash"), Seq("band_idx", "band_hash"), "left_semi")
       .select(idCol).distinct()
 
+  /** The composite Bloom key of a signature row — the store join key
+    * (band_idx, band_hash) as one string, shared by the sketch builder
+    * and the probe so both sides hash identical bytes.
+    */
+  private def bloomKey =
+    concat_ws(":", col("band_idx"), col("band_hash"))
+
+  /** A broadcastable Bloom sketch of the store's (band_idx, band_hash)
+    * keys — built once per store version (the store only changes when a
+    * batch commits), ~1.2 MB per million signature rows at 1% fpp. See
+    * [[graft.functions.BloomMightContain]] for the scale rationale.
+    */
+  def signatureBloom(
+      store: DataFrame,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01
+  ): org.apache.spark.util.sketch.BloomFilter = {
+    val keyed = store.select(bloomKey.as("bk"))
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(keyed.count(), 64L)
+    keyed.stat.bloomFilter("bk", n, fpp)
+  }
+
+  /** [[duplicateIds]] with a map-side Bloom pre-gate: the batch's
+    * signature rows probe the store sketch inside the scan stage, so
+    * definite non-duplicates (all but fpp of a typical batch) never
+    * shuffle. The exact semi-join over the survivors removes the false
+    * positives — output identical to [[duplicateIds]]
+    * (IncrementalDedupSpec asserts equality and the pre-exchange plan
+    * position).
+    */
+  def duplicateIdsBloom(
+      newSigs: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      sketch: org.apache.spark.util.sketch.BloomFilter
+  ): DataFrame =
+    newSigs
+      .filter(graft.functions.BloomMightContain.mightContain(bloomKey, sketch))
+      .join(store.select("band_idx", "band_hash"), Seq("band_idx", "band_hash"), "left_semi")
+      .select(idCol).distinct()
+
   /** The AUDIT TRAIL behind [[duplicateIds]] (round-6, the near-dup twin
     * of `Decontam.contaminationPairs`): one row per (new doc, stored doc)
     * pair that collides on at least one band, with the colliding-band

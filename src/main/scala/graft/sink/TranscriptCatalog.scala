@@ -182,6 +182,41 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
       s"failed to commit bucket spec for '$table': rename $tmp -> $p")
   }
 
+  /** Write a small sidecar blob (a sketch, a manifest) under `table`'s
+    * directory with the same temp + atomic-rename commit protocol as the
+    * bucket spec: a reader sees either no blob or a complete one, never a
+    * truncated write. `name` should start with `_` so parquet scans of the
+    * table ignore it.
+    */
+  def writeBlob(table: String, name: String, bytes: Array[Byte]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${path(table)}/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to commit blob '$name' for '$table': rename $tmp -> $p")
+  }
+
+  /** Read a sidecar blob written by [[writeBlob]]; None if absent. */
+  def readBlob(table: String, name: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(s"${path(table)}/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      Some(bos.toByteArray)
+    } finally in.close()
+  }
+
   /** Register `table` as an external bucketed parquet table (idempotent).
     * `schemaDdl` is the column list (bucketing DDL cannot infer schema);
     * bucket+sort columns and count must match every writer — enforced

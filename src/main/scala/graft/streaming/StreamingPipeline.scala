@@ -425,8 +425,14 @@ object StreamingPipeline {
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     val deduped = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
-    val contaminated = Decontam.contaminatedIds(
-      deduped, Decontam.evalGramStore(catalog, storeBuckets))
+    // The gate runs Bloom-pre-gated (round-6): the persisted sketch is one
+    // blob read per micro-batch (rebuilt only when the eval manifest
+    // changes), and definite-miss grams never reach the exchange — the
+    // exact semi-join over the survivors keeps the result identical to
+    // the ungated gate (DecontamSpec).
+    val contaminated = Decontam.contaminatedIdsBloom(
+      deduped, Decontam.evalGramStore(catalog, storeBuckets),
+      Decontam.loadOrBuildGramBloom(catalog, storeBuckets))
     val clean = graft.ops.Materialize.stable(
       deduped.join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "text"), reliable = false)

@@ -149,6 +149,90 @@ class DecontamSpec extends SparkSpecBase {
       pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
+  test("bloom pre-gate: identical result, pre-exchange probe, real pruning") {
+    val dir = "/root/testdata/sf0.01"
+    val out = tmpDir("decontam-bloom")
+    val catalog = new TranscriptCatalog(out, spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Decontam.publishEvalSet(catalog, docs.filter(col("doc_id") >= 450))
+    val store = Decontam.evalGramStore(catalog)
+    val train = docs.filter(col("doc_id") < 450)
+    val sketch = Decontam.gramBloom(store)
+
+    // no false negatives ever: the gated gate equals the ungated one
+    val gated = Decontam.contaminatedIdsBloom(train, store, sketch)
+    gated.collect().map(_.getLong(0)).toSet shouldBe
+      Decontam.contaminatedIds(train, store).collect().map(_.getLong(0)).toSet
+
+    // the catalog rows agree (dd_decontam_bloom shares the ngram oracle)
+    OpsQueries.queries("dd_decontam_bloom")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet shouldBe
+      OpsQueries.queries("dd_decontam_ngram")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+
+    // plan gate: the bloom probe runs INSIDE the scan stage — no Exchange
+    // anywhere below the Filter carrying bloommightcontain (AQE off for a
+    // plain walkable tree)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Decontam.contaminatedIdsBloom(train, store, sketch)
+        .queryExecution.executedPlan
+      val bloomFilters = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.toLowerCase.contains("bloommightcontain") => f
+      }
+      bloomFilters should not be empty
+      bloomFilters.foreach { f =>
+        f.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        } shouldBe empty
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // and the probe genuinely prunes: survivors = true hits + ~1% fpp of
+    // the clean grams, far below the full gram volume that would otherwise
+    // shuffle
+    val grams = Decontam.gramHashes(train, "text")
+    val total = grams.count()
+    val survivors = grams.filter(
+      graft.functions.BloomMightContain.mightContain(col("gh"), sketch)).count()
+    survivors.toDouble should be < total * 0.5
+  }
+
+  test("persisted sketch lifecycle: current loads, stale rebuilds — never a false negative") {
+    val out = tmpDir("decontam-sketch")
+    val catalog = new TranscriptCatalog(out, spark)
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> evalSentence).toDF("doc_id", "text"), nBuckets = 4, setId = "s1")
+    val sketch1 = Decontam.loadOrBuildGramBloom(catalog, 4)
+    val blob1 = catalog.readBlob(Decontam.GramTable, Decontam.SketchBlob).get
+    // unchanged manifest ⇒ the persisted sketch is reused byte-for-byte
+    Decontam.loadOrBuildGramBloom(catalog, 4)
+    catalog.readBlob(Decontam.GramTable, Decontam.SketchBlob).get shouldBe blob1
+
+    val train = Seq(
+      1L -> s"padding before $evalSentence padding after this page continues on",
+      2L -> s"padding before $evalSentence2 padding after this page continues on")
+      .toDF("doc_id", "text")
+    Decontam.contaminatedIdsBloom(train, Decontam.evalGramStore(catalog, 4), sketch1)
+      .collect().map(_.getLong(0)) shouldBe Array(1L)
+
+    // publishing s2 makes the persisted sketch STALE — blind reuse would
+    // false-negative doc 2; loadOrBuild must detect and rebuild
+    Decontam.publishEvalSet(catalog,
+      Seq(901L -> evalSentence2).toDF("doc_id", "text"), nBuckets = 4, setId = "s2")
+    val sketch2 = Decontam.loadOrBuildGramBloom(catalog, 4)
+    Decontam.contaminatedIdsBloom(train, Decontam.evalGramStore(catalog, 4), sketch2)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+
+    // retraction invalidates too; a leftover sketch bit for s1's grams is
+    // at worst a false positive, removed by the exact join
+    Decontam.retractEvalSet(catalog, "s1", nBuckets = 4)
+    val sketch3 = Decontam.loadOrBuildGramBloom(catalog, 4)
+    Decontam.contaminatedIdsBloom(train, Decontam.evalGramStore(catalog, 4), sketch3)
+      .collect().map(_.getLong(0)) shouldBe Array(2L)
+  }
+
   test("store gate equals the oracled dd_decontam_ngram on the real corpus") {
     val dir = "/root/testdata/sf0.01"
     val out = tmpDir("decontam-corpus")
