@@ -527,6 +527,40 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_shared_grams"))
     }),
 
+    // --- DD8d: asymmetric n-gram CONTAINMENT pairs (round 6) — the
+    //     subsumption detector symmetric Jaccard misses: a short doc
+    //     quoted verbatim inside a much longer page has tiny Jaccard but
+    //     containment(short→long) ≈ 1. One row per ordered (a, b) pair
+    //     with |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold, over the
+    //     SAME distinct-8-gram convention as the decontamination family.
+    //     Scale shape: the all-pairs gram self-join is capped by a
+    //     document-frequency prune first (grams in > maxDf docs are
+    //     boilerplate and carry no identity signal — the standard guard
+    //     that bounds per-gram fan-out at maxDf² pairs); after it only
+    //     (doc_id, gh) ids move, the pair groupBy partial-aggregates
+    //     map-side, and sizes attach by an ids-only join. Containment is
+    //     computed against the PRUNED gram set on both engines, so the
+    //     oracle is exact. ---
+    "dd_containment" -> ((s: SparkSession, dir: String) => {
+      val maxDf = 20
+      val theta = 0.5
+      val g = gramHashes(docs(s, dir))
+      val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("gh")
+      val gg = g.join(rare, Seq("gh"), "left_semi").localCheckpoint()
+      val sizes = gg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val pairs = gg.select(col("doc_id").as("doc_id_a"), col("gh"))
+        .join(gg.select(col("doc_id").as("doc_id_b"), col("gh")), Seq("gh"))
+        .filter(col("doc_id_a") =!= col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(count(lit(1)).as("shared"))
+      pairs.join(sizes.withColumnRenamed("doc_id", "doc_id_a"), Seq("doc_id_a"))
+        .withColumn("containment",
+          round(col("shared").cast("double") / col("n_grams"), 6))
+        .filter(col("containment") >= theta)
+        .select("doc_id_a", "doc_id_b", "shared", "containment")
+    }),
+
     // --- DD11: exact substring-span dedup (Lee et al. 2022 shape, round 6)
     //     — maximal verbatim token spans (≥ k) repeated ANYWHERE in the
     //     corpus, as (doc_id, span_start, span_tokens); the span output a
@@ -1085,6 +1119,33 @@ object OpsQueries {
         .filter(col("bucket") < rate)
     }),
 
+    // --- TX6b: per-source frequency capping (round 6) — the crawl-dedup
+    //     guard that keeps at most k docs per source/domain, selected in
+    //     deterministic hash order (so reruns and engines agree, and no
+    //     source's ordering depends on ingestion order). The selection
+    //     rank is NOT a `row_number() OVER (PARTITION BY source)` — a
+    //     low-cardinality partition window sorts a whole source in one
+    //     task, dead when one domain holds half the corpus — but the
+    //     keyed hierarchical prefix sum with weight 1 (exclusive prefix
+    //     count == rank), the same machinery as tx_mix_budget, forced
+    //     through two recursion levels at gate scale. The order key is
+    //     md5-derived (mirrorable in both engines) with the doc id folded
+    //     into the low bits so it is collision-free by construction for
+    //     ids < 2^22. ---
+    "tx_cap_source" -> ((s: SparkSession, dir: String) => {
+      val k = 10
+      val ord = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT)" +
+          " * 4194304 + pmod(doc_id, 4194304)")
+      val ordered = docs(s, dir)
+        .select(col("doc_id"), col("source"), ord.as("ord"))
+      graft.ops.SequencePack.exclusivePrefixSum(
+          ordered.withColumn("one", lit(1L)), "ord", "one", "keep_rank",
+          blockSize = 1L << 40, maxTopRows = 8, keyCols = Seq("source"))
+        .filter(col("keep_rank") < k)
+        .select(col("doc_id"), col("source"), col("keep_rank"))
+    }),
+
     // --- EMB1: int8 scalar quantization of the embedding column — the
     //     compression pass before an ANN index ships to serving: per-vector
     //     symmetric scale (max|x| / 127), quantized checksum, and the
@@ -1596,6 +1657,24 @@ object OpsQueries {
           |FROM g t JOIN g e USING (gh)
           |WHERE t.doc_id < 450 AND e.doc_id >= 450
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // Containment against the DF-pruned gram set on both engines (the
+      // prune is part of the operator's definition, so the oracle is
+      // exact, not an approximation of an unpruned ideal).
+      "dd_containment" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, len(ws) - 7),
+          |    i -> md5(array_to_string(ws[i:i+7], ' '))))) AS gh
+          |  FROM w WHERE len(ws) >= 8),
+          |df AS (SELECT gh FROM g GROUP BY gh HAVING count(*) <= 20),
+          |gg AS (SELECT g.doc_id, g.gh FROM g JOIN df USING (gh)),
+          |sz AS (SELECT doc_id, count(*) AS n_grams FROM gg GROUP BY doc_id),
+          |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS shared
+          |  FROM gg a JOIN gg b USING (gh) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+          |SELECT p.doc_id_a, p.doc_id_b, p.shared,
+          |  round(p.shared * 1.0 / sz.n_grams, 6) AS containment
+          |FROM p JOIN sz ON sz.doc_id = p.doc_id_a
+          |WHERE round(p.shared * 1.0 / sz.n_grams, 6) >= 0.5""".stripMargin.replace("\n", " "),
       // Mirrors SubstringDedup.spans exactly: positioned 8-gram md5s
       // (two zipped unnests), corpus-wide count ≥ 2, run merge on
       // gap > 8, maximal-extent arithmetic.
@@ -1895,6 +1974,18 @@ object OpsQueries {
           |FROM documents
           |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
           |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin.replace("\n", " "),
+      // row_number() - 1 over the same collision-free hash order key ==
+      // the exclusive prefix count the Spark side computes hierarchically.
+      "tx_cap_source" ->
+        """WITH h AS (SELECT doc_id, source,
+          |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 10))::BIGINT * 4194304
+          |    + doc_id % 4194304 AS ord
+          |  FROM documents),
+          |r AS (SELECT doc_id, source,
+          |  row_number() OVER (PARTITION BY source ORDER BY ord) - 1 AS keep_rank
+          |  FROM h)
+          |SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
+          |FROM r WHERE keep_rank < 10""".stripMargin.replace("\n", " "),
       "emb_kmeans" ->
         s"""WITH $kmeansSql,
            |cnt AS (SELECT cell, count(*) AS n FROM kaf GROUP BY cell)

@@ -72,7 +72,8 @@ object IncrementalLineDedup {
       batchId: Long,
       textCol: String = "text",
       maxOccurrences: Int = 1,
-      nBuckets: Int = 16
+      nBuckets: Int = 16,
+      storePreGate: Boolean = true
   ): Unit = {
     val committed = committedBatches(catalog)
     if (committed.contains(batchId)) return
@@ -94,10 +95,28 @@ object IncrementalLineDedup {
     // half-written rows are invisible); the store reads bucketed by lh,
     // so this aggregation never exchanges the store side.
     val store = countStore(catalog, nBuckets)
-    val hist =
-      (if (committed.isEmpty) store.filter(lit(false))
-       else store.filter(col("batch_id").isin(committed.toSeq: _*)))
-        .groupBy("lh").agg(sum("cnt").as("hist"))
+    val histRows =
+      if (committed.isEmpty) store.filter(lit(false))
+      else store.filter(col("batch_id").isin(committed.toSeq: _*))
+    // Store-side Bloom pre-gate (round-6, the INVERSE direction of the
+    // decontam gate): history only matters for units PRESENT IN THIS
+    // BATCH, and the batch's distinct-unit set is the small side here —
+    // so a sketch of batchCounts.lh probes every store row inside the
+    // (bucketed, exchange-free) scan, and history units this batch never
+    // mentions skip the aggregation entirely. At steady state the store
+    // holds every unit ever seen while a day's batch holds a sliver, so
+    // this collapses the per-batch history aggregation from all-of-history
+    // to ~|batch units| (+fpp noise). False positives only aggregate a few
+    // extra units that the left join below then ignores; false negatives
+    // are impossible, so outputs are bit-identical (spec-asserted).
+    val histGated =
+      if (storePreGate && committed.nonEmpty) {
+        val sketch = batchCounts.stat.bloomFilter(
+          "lh", math.max(batchCounts.count(), 64L), 0.01)
+        histRows.filter(
+          graft.functions.BloomMightContain.mightContain(col("lh"), sketch))
+      } else histRows
+    val hist = histGated.groupBy("lh").agg(sum("cnt").as("hist"))
     val over = batchCounts.join(hist, Seq("lh"), "left")
       .filter(col("cnt") + coalesce(col("hist"), lit(0L)) > maxOccurrences)
       .select("lh")

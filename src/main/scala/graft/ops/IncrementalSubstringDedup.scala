@@ -73,7 +73,8 @@ object IncrementalSubstringDedup {
       textCol: String = "text",
       k: Int = SubstringDedup.DefaultK,
       minOccurrences: Int = 2,
-      nBuckets: Int = 16
+      nBuckets: Int = 16,
+      storePreGate: Boolean = true
   ): Unit = {
     val committed = committedBatches(catalog)
     if (committed.contains(batchId)) return
@@ -94,10 +95,24 @@ object IncrementalSubstringDedup {
     // Historical totals for COMMITTED batches only; the store reads
     // bucketed by gh, so this aggregation never exchanges the store side.
     val store = countStore(catalog, nBuckets)
-    val hist =
-      (if (committed.isEmpty) store.filter(lit(false))
-       else store.filter(col("batch_id").isin(committed.toSeq: _*)))
-        .groupBy("gh").agg(sum("cnt").as("hist"))
+    val histRows =
+      if (committed.isEmpty) store.filter(lit(false))
+      else store.filter(col("batch_id").isin(committed.toSeq: _*))
+    // Store-side Bloom pre-gate — same rationale as
+    // [[IncrementalLineDedup.processBatch]]: history counts only matter
+    // for grams present in THIS batch, so a sketch of the batch's
+    // distinct grams probes the store scan and all other history rows
+    // skip the aggregation. False positives are ignored by the left join
+    // below; false negatives are impossible — outputs are bit-identical
+    // (spec-asserted).
+    val histGated =
+      if (storePreGate && committed.nonEmpty) {
+        val sketch = batchCounts.stat.bloomFilter(
+          "gh", math.max(batchCounts.count(), 64L), 0.01)
+        histRows.filter(
+          graft.functions.BloomMightContain.mightContain(col("gh"), sketch))
+      } else histRows
+    val hist = histGated.groupBy("gh").agg(sum("cnt").as("hist"))
     val dup = batchCounts.join(hist, Seq("gh"), "left")
       .filter(col("cnt") + coalesce(col("hist"), lit(0L)) >= minOccurrences)
       .select("gh")

@@ -136,4 +136,25 @@ class IncrementalLineDedupSpec extends SparkSpecBase {
       .sortBy(_._1)
     storeRows shouldBe queryRows
   }
+
+  test("the store-side bloom pre-gate never changes a scrub (gated ≡ ungated)") {
+    // Same two-batch sequence into two catalogs, pre-gate on vs off: the
+    // sketch of the batch's units may only SKIP history rows the batch
+    // never mentions, so the docs tables must be identical — including a
+    // cross-batch strip whose unit IS in history (a sketch false negative
+    // there would silently under-strip).
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val outs = Seq(true, false).map { gate =>
+      val catalog = new TranscriptCatalog(tmpDir(s"incline-gate-$gate"), spark)
+      IncrementalLineDedup.processBatch(catalog, d.filter(col("doc_id") < 250), 0L,
+        storePreGate = gate)
+      IncrementalLineDedup.processBatch(catalog, d.filter(col("doc_id") >= 250), 1L,
+        storePreGate = gate)
+      catalog.read(IncrementalLineDedup.DocsTable)
+        .select("doc_id", "batch_id", "n_lines", "kept_line_count", "scrub_hash")
+        .collect().map(_.toString).sorted
+    }
+    outs(0) shouldBe outs(1)
+  }
 }

@@ -136,4 +136,20 @@ class IncrementalSubstringDedupSpec extends SparkSpecBase {
       .sortBy(_._1)
     storeRows shouldBe queryRows
   }
+
+  test("the store-side bloom pre-gate never changes a scrub (gated ≡ ungated)") {
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val outs = Seq(true, false).map { gate =>
+      val catalog = new TranscriptCatalog(tmpDir(s"incsub-gate-$gate"), spark)
+      IncrementalSubstringDedup.processBatch(catalog, d.filter(col("doc_id") < 250), 0L,
+        storePreGate = gate)
+      IncrementalSubstringDedup.processBatch(catalog, d.filter(col("doc_id") >= 250), 1L,
+        storePreGate = gate)
+      catalog.read(IncrementalSubstringDedup.DocsTable)
+        .select("doc_id", "batch_id", "n_tokens", "kept_tokens", "scrub_hash")
+        .collect().map(_.toString).sorted
+    }
+    outs(0) shouldBe outs(1)
+  }
 }
