@@ -1134,16 +1134,34 @@ object OpsQueries {
     //     ids < 2^22. ---
     "tx_cap_source" -> ((s: SparkSession, dir: String) => {
       val k = 10
-      val ord = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT)" +
-          " * 4194304 + pmod(doc_id, 4194304)")
-      val ordered = docs(s, dir)
-        .select(col("doc_id"), col("source"), ord.as("ord"))
-      graft.ops.SequencePack.exclusivePrefixSum(
-          ordered.withColumn("one", lit(1L)), "ord", "one", "keep_rank",
-          blockSize = 1L << 40, maxTopRows = 8, keyCols = Seq("source"))
+      graft.ops.IncrementalCap.rankInSource(
+          docs(s, dir).select("doc_id", "source"),
+          blockSize = 1L << 40, maxTopRows = 8)
         .filter(col("keep_rank") < k)
         .select(col("doc_id"), col("source"), col("keep_rank"))
+    }),
+
+    // --- TX6c: INCREMENTAL per-source capping (round 6) — the
+    //     daily-ingest form of TX6b via `ops/IncrementalCap` (split at
+    //     doc_id 250 into history/batch so the oracle can mirror both
+    //     halves): history spends its per-source budget first, the batch
+    //     keeps only while base + rank < k — an earlier batch's kept docs
+    //     are never revoked (the incremental contract; the persisted
+    //     store holds one (source, kept_docs) COUNT row per source per
+    //     batch, never ids). Every batch doc gets a verdict row, so drop
+    //     decisions are auditable. ---
+    "q_incremental_capsource" -> ((s: SparkSession, dir: String) => {
+      val k = 15
+      val d = docs(s, dir).select("doc_id", "source")
+      val base = graft.ops.IncrementalCap.rankInSource(
+          d.filter(col("doc_id") < 250), blockSize = 1L << 40, maxTopRows = 8)
+        .filter(col("keep_rank") < k)
+        .groupBy("source").agg(count(lit(1)).as("base"))
+      graft.ops.IncrementalCap.rankInSource(
+          d.filter(col("doc_id") >= 250), blockSize = 1L << 40, maxTopRows = 8)
+        .join(base, Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("keep_rank"),
+          (col("keep_rank") + coalesce(col("base"), lit(0L)) < k).as("kept"))
     }),
 
     // --- EMB1: int8 scalar quantization of the embedding column — the
@@ -1986,6 +2004,23 @@ object OpsQueries {
           |  FROM h)
           |SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
           |FROM r WHERE keep_rank < 10""".stripMargin.replace("\n", " "),
+      // History (doc_id < 250) spends its per-source budget first; the
+      // batch keeps while base + rank < k. Same order key as tx_cap_source.
+      "q_incremental_capsource" ->
+        """WITH h AS (SELECT doc_id, source,
+          |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 10))::BIGINT * 4194304
+          |    + doc_id % 4194304 AS ord
+          |  FROM documents),
+          |hist AS (SELECT source, count(*) AS base FROM (
+          |  SELECT source,
+          |    row_number() OVER (PARTITION BY source ORDER BY ord) - 1 AS rn
+          |  FROM h WHERE doc_id < 250) WHERE rn < 15 GROUP BY source),
+          |b AS (SELECT doc_id, source,
+          |  row_number() OVER (PARTITION BY source ORDER BY ord) - 1 AS keep_rank
+          |  FROM h WHERE doc_id >= 250)
+          |SELECT b.doc_id, b.source, CAST(b.keep_rank AS BIGINT) AS keep_rank,
+          |  (b.keep_rank + coalesce(hist.base, 0) < 15) AS kept
+          |FROM b LEFT JOIN hist USING (source)""".stripMargin.replace("\n", " "),
       "emb_kmeans" ->
         s"""WITH $kmeansSql,
            |cnt AS (SELECT cell, count(*) AS n FROM kaf GROUP BY cell)

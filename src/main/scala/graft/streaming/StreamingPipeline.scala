@@ -526,6 +526,28 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming per-source frequency cap — `graft.ops.IncrementalCap`
+    * under foreachBatch: each micro-batch of docs `(doc_id, source)`
+    * spends per-source budget against the committed kept-count store;
+    * at most k docs per source are ever marked kept across the stream.
+    * Same exactly-once protocol as [[lineDedupSink]] (batch_id-replaced
+    * verdicts and counts, marker last).
+    */
+  def capSink(
+      docs: DataFrame, // streaming (doc_id: long, source: string)
+      catalogRoot: String,
+      checkpoint: String,
+      k: Int
+  ): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IncrementalCap.processBatch(
+          new graft.sink.TranscriptCatalog(catalogRoot, batch.sparkSession),
+          batch, batchId, k)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** `processExportBatch` as a foreachBatch stream sink. */
   def exportSink(
       docs: DataFrame,

@@ -365,6 +365,30 @@ class StreamingSpec extends SparkSpecBase {
     streamed shouldBe batch
   }
 
+  test("streaming per-source cap spends budget across micro-batches and never exceeds k") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = tmpDir("stream-cap")
+    val cp = tmpDir("stream-cap-cp")
+    def run(): Unit = {
+      val q = StreamingPipeline.capSink(
+        mem.toDF().toDF("doc_id", "source"), out, cp, k = 3).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    mem.addData(1L -> "A", 2L -> "A", 3L -> "B")
+    run()
+    mem.addData(10L -> "A", 11L -> "A", 12L -> "B")
+    run()
+    val rows = spark.read.parquet(s"$out/${graft.ops.IncrementalCap.DocsTable}")
+      .select("doc_id", "source", "kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    // batch 0 kept everything; batch 1 had budget for exactly ONE more A
+    rows.filter(r => r._2 == "A" && r._3).map(_._1).toSet.size shouldBe 3
+    rows.filter(r => r._2 == "B" && r._3).map(_._1).toSet shouldBe Set(3L, 12L)
+    Set(1L, 2L).subsetOf(
+      rows.filter(r => r._2 == "A" && r._3).map(_._1).toSet) shouldBe true
+  }
+
   test("streaming line dedup strips cross-batch boilerplate from later batches only") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
