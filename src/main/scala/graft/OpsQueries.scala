@@ -355,6 +355,34 @@ object OpsQueries {
         .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
     }),
 
+    // --- DD4b: QUALITY-AWARE cluster representative (round 6) — the
+    //     selection policy real release pipelines run: within each
+    //     near-dup cluster keep the HIGHEST-QUALITY member (ties → lowest
+    //     doc_id), not the arbitrary min-label representative — a cluster
+    //     of {spammy mirror, clean original} must keep the original.
+    //     Composition of two oracle-green primitives: the CC clusters
+    //     (shared memoized pair frame) and the shared quality classifier
+    //     (round4'd in BOTH engines, so the argmax never flips on a ULP).
+    //     Scale shape: after the text pass only (doc_id, cluster, quality)
+    //     moves; the argmax is one struct-max groupBy with map-side
+    //     combine and the rep attaches by an ids-only join. ---
+    "dd_cluster_rep" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.ConnectedComponents
+      val comps = ConnectedComponents.resolve(docPairs(s, dir), "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val d = docs(s, dir).select(col("doc_id"), qualityCol.as("quality"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+      val best = d.groupBy("cluster")
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"),
+          col("doc_id").as("rid"))).as("m"))
+        .select(col("cluster"), col("m.rid").as("cluster_rep"))
+      d.join(best, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          col("cluster_rep"),
+          (col("doc_id") === col("cluster_rep")).as("is_kept"))
+    }),
+
     // --- DD7: cross-run incremental near-dup — dedup a NEW batch against a
     //     persisted band-signature store (the daily-ingest shape; here the
     //     corpus is split at doc_id 250 into history/batch so the oracle can
@@ -1581,6 +1609,30 @@ object OpsQueries {
            |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep,
            |  d.doc_id = coalesce(c.rep, d.doc_id) AS is_kept
            |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin.replace("\n", " "),
+      // Same recursive clustering, representative = argmax quality (ties
+      // → lowest doc_id); quality is round4'd in both engines.
+      "dd_cluster_rep" ->
+        s"""WITH RECURSIVE tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |pairs AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+           |edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db AS src, da AS dst FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |q AS (SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster,
+           |  $qualitySqlDuck AS quality
+           |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+           |best AS (SELECT cluster,
+           |  (list(doc_id ORDER BY quality DESC, doc_id ASC))[1] AS cluster_rep
+           |  FROM q GROUP BY cluster)
+           |SELECT q.doc_id, q.cluster, q.quality, b.cluster_rep,
+           |  q.doc_id = b.cluster_rep AS is_kept
+           |FROM q JOIN best b USING (cluster)""".stripMargin.replace("\n", " "),
       "q_incremental_neardup" ->
         s"""WITH tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM documents),
            |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
