@@ -258,7 +258,8 @@ object OpsQueries {
       meta: DataFrame,
       tok: DataFrame,
       pairsAll: Option[DataFrame] = None,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      quality: Option[DataFrame] = None
   ): DataFrame = {
     import graft.ops.ConnectedComponents
     require(pairsAll.isEmpty || maxBucket.isEmpty,
@@ -273,9 +274,25 @@ object OpsQueries {
     }
     val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
-    exactKeep.join(comps, Seq("doc_id"), "left")
-      .filter(col("label").isNull || col("label") === col("doc_id"))
-      .select("doc_id")
+    val clustered = exactKeep.join(comps, Seq("doc_id"), "left")
+    quality match {
+      // Default policy: the CC min-label IS the representative (free).
+      case None =>
+        clustered.filter(col("label").isNull || col("label") === col("doc_id"))
+          .select("doc_id")
+      // Quality policy (round-6, the dd_cluster_rep selection): keep the
+      // highest-quality member per cluster, ties → lowest doc_id. The
+      // (doc_id, quality) frame must cover every doc in `meta`; quality is
+      // round4'd (graft.parse.QualityScore) so the argmax is engine-stable.
+      case Some(qdf) =>
+        clustered
+          .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+          .join(qdf.select("doc_id", "quality"), Seq("doc_id"))
+          .groupBy("cluster")
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"),
+            col("doc_id").as("rid"))).as("m"))
+          .select(col("m.rid").as("doc_id"))
+    }
   }
 
   /** dot(a, b) for double arrays via sequential fold (deterministic order). */
@@ -890,6 +907,28 @@ object OpsQueries {
           round(col("quality"), 4).as("quality"))
         .localCheckpoint()
       meta.unpersist()
+      res
+    }),
+
+    // --- CORPUS1b: corpus_build under the QUALITY representative policy
+    //     (round 6) — same quality gate → exact dedup → CC chain, but
+    //     each near-dup cluster keeps its highest-quality member (ties →
+    //     lowest doc_id) instead of the min-label doc: the release-grade
+    //     selection dd_cluster_rep oracles stand-alone, here threaded
+    //     through the shared corpusKeepIds composition (and through
+    //     CorpusJob's --rep-policy flag on the spark-submit surface). ---
+    "corpus_build_qrep" -> ((s: SparkSession, dir: String) => {
+      val q = docs(s, dir).withColumn("quality", qualityCol)
+        .filter(col("quality") >= 0.4)
+        .select(col("doc_id"), col("quality"), md5(col("text")).as("h"))
+        .persist()
+      val kept = corpusKeepIds(q.select("doc_id", "h"), docShingles(s, dir),
+        pairsAll = Some(docPairs(s, dir)),
+        quality = Some(q.select("doc_id", "quality")))
+      val res = q.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), round(col("quality"), 4).as("quality"))
+        .localCheckpoint()
+      q.unpersist()
       res
     }),
 
@@ -1938,6 +1977,34 @@ object OpsQueries {
            |  round(k1.quality, 4) AS quality
            |FROM k1 LEFT JOIN comp c ON c.id = k1.doc_id
            |WHERE c.rep IS NULL OR c.rep = k1.doc_id""".stripMargin.replace("\n", " "),
+      // Same chain, representative = argmax quality per cluster (ties →
+      // lowest doc_id) over the exact-dedup survivors.
+      "corpus_build_qrep" ->
+        s"""WITH RECURSIVE q0 AS (
+           |  SELECT doc_id, text, $qualitySqlDuck AS quality
+           |  FROM documents),
+           |q AS (SELECT * FROM q0 WHERE quality >= 0.4),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |k1 AS (SELECT q.* FROM q JOIN ek USING (doc_id)),
+           |tok AS (SELECT doc_id, $shinglesSqlDuck AS toks FROM k1),
+           |sig AS (SELECT doc_id, list_min(list_transform(toks, w -> md5(w || 's1'))) AS b1, list_min(list_transform(toks, w -> md5(w || 's2'))) AS b2 FROM tok),
+           |pairs AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id),
+           |edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db AS src, da AS dst FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |cl AS (SELECT k1.doc_id, coalesce(c.rep, k1.doc_id) AS cluster, k1.quality
+           |  FROM k1 LEFT JOIN comp c ON c.id = k1.doc_id),
+           |best AS (SELECT cluster,
+           |  (list(doc_id ORDER BY quality DESC, doc_id ASC))[1] AS rep
+           |  FROM cl GROUP BY cluster)
+           |SELECT cl.doc_id, round(cl.quality, 4) AS quality
+           |FROM cl JOIN best b ON b.cluster = cl.cluster AND b.rep = cl.doc_id""".stripMargin.replace("\n", " "),
       "q_corpus_incremental" ->
         s"""WITH RECURSIVE
            |q0 AS (SELECT doc_id, text, $qualitySqlDuck AS quality,

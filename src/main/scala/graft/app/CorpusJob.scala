@@ -28,7 +28,11 @@ final case class CorpusConfig(
     blockSize: Long = 4096,
     maxTopRows: Long = 65536,
     scrubLines: Boolean = false,
-    scrubSpans: Boolean = false)
+    scrubSpans: Boolean = false,
+    // Near-dup cluster representative policy: "minlabel" (the CC label,
+    // free) or "quality" (highest-quality member, ties → lowest doc_id —
+    // the dd_cluster_rep selection; one extra ids+score groupBy).
+    repPolicy: String = "minlabel")
 
 /** The corpus release pipeline as a runnable batch JOB — the
   * operational twin of the oracle-checked `corpus_export` /
@@ -93,11 +97,14 @@ object CorpusJob {
       if (cfg.scrubLines || cfg.scrubSpans) scrubbed.localCheckpoint()
       else rawTrain
 
+    require(cfg.repPolicy == "minlabel" || cfg.repPolicy == "quality",
+      s"unknown rep policy '${cfg.repPolicy}' (minlabel | quality)")
     // Stage 1: quality gate (the hashed-vocab linear classifier) + the
-    // content hash the exact dedup keys on. One pass over the text.
+    // content hash the exact dedup keys on. One pass over the text; the
+    // score rides along for the optional quality-rep policy in stage 3.
     val meta = train.withColumn("quality", QualityScore.scoreCol("text"))
       .filter(col("quality") >= cfg.qualityMin)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), col("quality"), md5(col("text")).as("h"))
       .localCheckpoint()
 
     // Stage 2: exact dedup — min doc id per content hash.
@@ -113,10 +120,22 @@ object CorpusJob {
       shingles, "doc_id", "toks", cfg.minhashBands, cfg.minhashRows)
     val comps = ConnectedComponents.resolve(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
-    val kept = exactKeep.join(comps, Seq("doc_id"), "left")
-      .filter(col("label").isNull || col("label") === col("doc_id"))
-      .select("doc_id")
-      .localCheckpoint()
+    val clustered = exactKeep.join(comps, Seq("doc_id"), "left")
+    // Representative per cluster: the free CC min-label, or under
+    // --rep-policy quality the highest-quality member (ties → lowest
+    // doc_id; one extra ids+score groupBy — the dd_cluster_rep selection).
+    val kept = (cfg.repPolicy match {
+      case "quality" =>
+        clustered.withColumn("cluster", coalesce(col("label"), col("doc_id")))
+          .join(meta.select("doc_id", "quality"), Seq("doc_id"))
+          .groupBy("cluster")
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"),
+            col("doc_id").as("rid"))).as("m"))
+          .select(col("m.rid").as("doc_id"))
+      case _ =>
+        clustered.filter(col("label").isNull || col("label") === col("doc_id"))
+          .select("doc_id")
+    }).localCheckpoint()
 
     // Stage 4: n-gram containment decontamination against the eval split
     // (skipped when no eval set ships with the run).
@@ -200,6 +219,8 @@ object CorpusJob {
   *     [--pack-budget 512] [--bands 8] [--rows 4] [--master local[N]]
   *     [--scrub lines,spans]  (pre-gate boilerplate-line strip and/or
   *                             verbatim-span cut, in that order)
+  *     [--rep-policy minlabel|quality]  (near-dup cluster representative:
+  *                             CC min-label, or highest-quality member)
   *
   * The input parquet must carry (doc_id: long, lang: string,
   * text: string) — the `documents` table shape.
@@ -238,7 +259,8 @@ object CorpusMain {
         .getOrElse(Long.MaxValue / 2),
       packBudget = opts.getOrElse("--pack-budget", "512").toInt,
       scrubLines = opts.get("--scrub").exists(_.split(",").contains("lines")),
-      scrubSpans = opts.get("--scrub").exists(_.split(",").contains("spans")))
+      scrubSpans = opts.get("--scrub").exists(_.split(",").contains("spans")),
+      repPolicy = opts.getOrElse("--rep-policy", "minlabel"))
 
     val t0 = System.nanoTime()
     val result = CorpusJob.run(spark,

@@ -46,4 +46,15 @@ class ClusterRepSpec extends SparkSpecBase {
     val qualityReps = rows.filter(_._5).map(_._1).toSet
     qualityReps should not be minLabelReps
   }
+
+  test("corpus_build_qrep keeps one rep per cluster — same count as corpus_build, argmax picks") {
+    val build = OpsQueries.queries("corpus_build")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val qrep = OpsQueries.queries("corpus_build_qrep")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // same cluster partition ⇒ same number of representatives (the
+    // argmax SEMANTICS are gated by the DuckDB oracle; this asserts the
+    // two policies walk the same clusters)
+    qrep.size shouldBe build.size
+  }
 }

@@ -109,4 +109,41 @@ class CorpusJobSpec extends SparkSpecBase {
     r2.metrics shouldBe r1.metrics
     snapshot() shouldBe s1
   }
+
+  test("--rep-policy quality keeps the highest-quality member of a near-dup cluster") {
+    import spark.implicits._
+    // base: diverse words (high quality); doc 1 appends junk repetition
+    // (lower diversity → lower score), doc 2 appends fresh words. With
+    // 32×1 banding the shared base shingles make them near-dup candidates.
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "en", s"$base junk junk junk junk junk junk"),
+      (2L, "en", s"$base fresh extra tokens appended here today"),
+      (3L, "en", (101 to 140).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // guards: the quality ordering and the banding collision the test
+    // relies on actually hold for this corpus
+    val q = corpus.select(col("doc_id"),
+        graft.parse.QualityScore.scoreCol("text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(2L) > q(1L), s"planted quality ordering broke: $q")
+    val pairs = graft.ops.MinHash.candidatePairs(
+      graft.ops.IncrementalDedup.shingles(corpus, "text").select("doc_id", "toks"),
+      "doc_id", "toks", 32, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup pair not banded: $pairs")
+
+    val cfg = CorpusConfig(qualityMin = 0.0, minhashBands = 32, minhashRows = 1)
+    def keptWith(policy: String): Set[Long] = {
+      val out = tmpDir(s"corpusjob-rep-$policy")
+      CorpusJob.run(spark, corpus, None, out, cfg.copy(repPolicy = policy))
+      new TranscriptCatalog(out, spark).read("release_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    keptWith("minlabel") shouldBe Set(1L, 3L) // min-label keeps doc 1
+    keptWith("quality") shouldBe Set(2L, 3L)  // quality keeps doc 2
+    intercept[IllegalArgumentException] {
+      keptWith("bogus")
+    }.getMessage should include("rep policy")
+  }
 }
