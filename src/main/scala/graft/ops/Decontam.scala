@@ -154,9 +154,11 @@ object Decontam {
       expectedItems: Long = 0L,
       fpp: Double = 0.01
   ): org.apache.spark.util.sketch.BloomFilter = {
-    val n = if (expectedItems > 0) expectedItems
-            else math.max(store.count(), 64L)
-    store.stat.bloomFilter("gh", n, fpp)
+    val actual = store.count()
+    val n = if (expectedItems > 0) expectedItems else math.max(actual, 64L)
+    // stat.bloomFilter NPEs on zero rows (null aggregate buffer)
+    if (actual == 0) org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+    else store.stat.bloomFilter("gh", n, fpp)
   }
 
   /** Sidecar file holding the persisted gram sketch (under the gram

@@ -87,9 +87,11 @@ object IncrementalDedup {
       fpp: Double = 0.01
   ): org.apache.spark.util.sketch.BloomFilter = {
     val keyed = store.select(bloomKey.as("bk"))
-    val n = if (expectedItems > 0) expectedItems
-            else math.max(keyed.count(), 64L)
-    keyed.stat.bloomFilter("bk", n, fpp)
+    val actual = keyed.count()
+    val n = if (expectedItems > 0) expectedItems else math.max(actual, 64L)
+    // stat.bloomFilter NPEs on zero rows (null aggregate buffer)
+    if (actual == 0) org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+    else keyed.stat.bloomFilter("bk", n, fpp)
   }
 
   /** [[duplicateIds]] with a map-side Bloom pre-gate: the batch's
@@ -110,6 +112,112 @@ object IncrementalDedup {
       .filter(graft.functions.BloomMightContain.mightContain(bloomKey, sketch))
       .join(store.select("band_idx", "band_hash"), Seq("band_idx", "band_hash"), "left_semi")
       .select(idCol).distinct()
+
+  // ------------------------------------------------------------------
+  // ROLLING store sketch (round-6): the persisted, incrementally-merged
+  // Bloom superset of the store's keys, so the streaming sink's pre-gate
+  // never rescans the (corpus-sized) store per micro-batch. SAFETY
+  // INVARIANT: the persisted sketch must always be a SUPERSET of the
+  // store's keys — a missing key would let a true duplicate skip the
+  // exact semi-join entirely (a silent output change, unlike a false
+  // positive, which the join removes). The invariant holds because the
+  // sketch is saved BEFORE each batch's signature append (extra keys
+  // from a crash between the two are harmless false positives) and Bloom
+  // merge is idempotent, so replays re-merging the same keys change
+  // nothing. A missing/corrupt/mismatched blob rebuilds from the FULL
+  // store scan (including any crashed batch's partial appends — still a
+  // superset).
+
+  /** Sidecar blob holding the rolling sketch. */
+  val SketchBlob: String = "_sig_bloom"
+  private val SketchMagic = "sigbloom-v1"
+
+  /** Load the rolling sketch; None if absent/corrupt/parameter-mismatched. */
+  def loadRollingSketch(
+      catalog: graft.sink.TranscriptCatalog,
+      fpp: Double
+  ): Option[(org.apache.spark.util.sketch.BloomFilter, Long, Long)] =
+    catalog.readBlob(StoreTable, SketchBlob).flatMap { bytes =>
+      try {
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+        val hb = new Array[Byte](in.readInt()); in.readFully(hb)
+        val parts = new String(hb, "UTF-8").split(";")
+        if (parts(0) != SketchMagic || parts(1).toDouble != fpp) None
+        else Some((org.apache.spark.util.sketch.BloomFilter.readFrom(in),
+          parts(2).toLong, parts(3).toLong)) // (sketch, capacity, itemsUpperBound)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Persist the rolling sketch (atomic temp+rename via the catalog). */
+  def saveRollingSketch(
+      catalog: graft.sink.TranscriptCatalog,
+      sketch: org.apache.spark.util.sketch.BloomFilter,
+      capacity: Long,
+      items: Long,
+      fpp: Double
+  ): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    val hb = s"$SketchMagic;$fpp;$capacity;$items".getBytes("UTF-8")
+    dos.writeInt(hb.length); dos.write(hb)
+    sketch.writeTo(dos); dos.close()
+    catalog.writeBlob(StoreTable, SketchBlob, bos.toByteArray)
+  }
+
+  /** Load the rolling sketch, or rebuild it from a full store scan when
+    * absent (first run) or unusable. The returned sketch is a superset of
+    * the store's keys by the invariant above.
+    */
+  def rollingSketch(
+      catalog: graft.sink.TranscriptCatalog,
+      nBuckets: Int = 16,
+      minCapacity: Long = 1L << 16,
+      fpp: Double = 0.01
+  ): (org.apache.spark.util.sketch.BloomFilter, Long, Long) =
+    loadRollingSketch(catalog, fpp).getOrElse {
+      val store = signatureStore(catalog, nBuckets)
+      val n = store.count()
+      val cap = math.max(minCapacity, 2 * n)
+      // stat.bloomFilter NPEs on zero rows (null aggregate buffer)
+      val sketch =
+        if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(cap, fpp)
+        else store.select(bloomKey.as("bk")).stat.bloomFilter("bk", cap, fpp)
+      saveRollingSketch(catalog, sketch, cap, n, fpp)
+      (sketch, cap, n)
+    }
+
+  /** Merge a batch's about-to-append signature keys into the rolling
+    * sketch and persist it — MUST run before [[appendSignatures]] (the
+    * superset invariant). When the merged item bound would overflow the
+    * sketch's capacity (degrading fpp), the sketch is rebuilt larger from
+    * the store plus the batch keys instead of merged.
+    */
+  def mergeRollingSketch(
+      catalog: graft.sink.TranscriptCatalog,
+      keptSigs: DataFrame,
+      sketch: org.apache.spark.util.sketch.BloomFilter,
+      capacity: Long,
+      items: Long,
+      nBuckets: Int = 16,
+      fpp: Double = 0.01
+  ): Unit = {
+    val keyed = keptSigs.select(bloomKey.as("bk"))
+    val batchN = keyed.count()
+    if (batchN == 0) {
+      // nothing to merge; the persisted sketch already covers the store
+    } else if (items + batchN <= capacity) {
+      // same (capacity, fpp) ⇒ bit-compatible, mergeable in place
+      sketch.mergeInPlace(keyed.stat.bloomFilter("bk", capacity, fpp))
+      saveRollingSketch(catalog, sketch, capacity, items + batchN, fpp)
+    } else {
+      val store = signatureStore(catalog, nBuckets)
+      val n = store.count() + batchN
+      val cap = math.max(2 * n, 2 * capacity)
+      val rebuilt = store.select(bloomKey.as("bk")).unionAll(keyed)
+        .stat.bloomFilter("bk", cap, fpp)
+      saveRollingSketch(catalog, rebuilt, cap, n, fpp)
+    }
+  }
 
   /** The AUDIT TRAIL behind [[duplicateIds]] (round-6, the near-dup twin
     * of `Decontam.contaminationPairs`): one row per (new doc, stored doc)
@@ -141,7 +249,10 @@ object IncrementalDedup {
       toksCol: String,
       bands: Int,
       rows: Int,
-      reliable: Boolean = false
+      reliable: Boolean = false,
+      // a SUPERSET sketch of the store's keys pre-gates the semi-join
+      // (see the rolling-sketch invariant below) — output identical
+      sketch: Option[org.apache.spark.util.sketch.BloomFilter] = None
   ): (DataFrame, DataFrame, DataFrame) = {
     // Cache lifecycle: signatures are persisted only while the (narrow,
     // eager) dup-id and kept-signature sets are materialized via
@@ -150,7 +261,11 @@ object IncrementalDedup {
     // tree (which a join would otherwise re-evaluate interpreted, once per
     // side).
     val sigs = signatures(newDocs, idCol, toksCol, bands, rows).persist()
-    val dups = Materialize.stable(duplicateIds(sigs, store, idCol), reliable)
+    val dupIds = sketch match {
+      case Some(bf) => duplicateIdsBloom(sigs, store, idCol, bf)
+      case None => duplicateIds(sigs, store, idCol)
+    }
+    val dups = Materialize.stable(dupIds, reliable)
     val keptSigs = Materialize.stable(
       sigs.join(dups, Seq(idCol), "left_anti"), reliable)
     sigs.unpersist()

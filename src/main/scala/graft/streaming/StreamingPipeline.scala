@@ -291,7 +291,8 @@ object StreamingPipeline {
       bands: Int,
       rows: Int,
       storeBuckets: Int = 16,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      storePreGate: Boolean = true
   ): Unit = {
     import graft.ops.{ConnectedComponents, IncrementalDedup, MinHash}
     import graft.sink.TranscriptCatalog
@@ -303,8 +304,20 @@ object StreamingPipeline {
     // shingles is column-preserving, so text rides along for the kept sink
     val tok = IncrementalDedup.shingles(batch, "text")
     val store = IncrementalDedup.signatureStore(catalog, storeBuckets)
+    // The ROLLING store sketch (round-6): a persisted Bloom superset of
+    // the store's keys pre-gates the semi-join, so a steady-state
+    // micro-batch probes a ~MB-sized sketch instead of shuffling all its
+    // signature rows — and the sketch is maintained INCREMENTALLY (one
+    // merge per batch, saved BEFORE the signature append so it can never
+    // under-cover the store; a crash leaves harmless extra keys). Output
+    // is identical to the ungated path (IncrementalDedupSpec,
+    // StreamingSpec gated ≡ ungated).
+    val sketchState =
+      if (storePreGate) Some(IncrementalDedup.rollingSketch(catalog, storeBuckets))
+      else None
     val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
-      tok, store, "doc_id", "toks", bands, rows)
+      tok, store, "doc_id", "toks", bands, rows,
+      sketch = sketchState.map(_._1))
     // maxBucket = the hot-bucket guard for the within-batch banding
     // (round-4 verdict item #4): an adversarial near-constant batch puts
     // every doc in one bucket and the self-join quadratic-blows; the cap
@@ -321,6 +334,11 @@ object StreamingPipeline {
     catalog.overwritePartitions(
       kept.select(col("doc_id"), col("text"), lit(batchId).as("batch_id")),
       "docs_kept", Seq("batch_id"))
+    // Sketch merge MUST precede the signature append (superset invariant).
+    sketchState.foreach { case (sketch, cap, items) =>
+      IncrementalDedup.mergeRollingSketch(
+        catalog, keptSigs, sketch, cap, items, storeBuckets)
+    }
     IncrementalDedup.appendSignatures(catalog, keptSigs, batchId, storeBuckets)
     // COMMIT POINT — the marker registers the batch id as a partition
     // directory (one row of payload; a partition column cannot be the only
@@ -416,8 +434,12 @@ object StreamingPipeline {
     val tok = IncrementalDedup.shingles(
       q.join(exactKeep, Seq("doc_id"), "left_semi"), "text")
     val store = IncrementalDedup.signatureStore(catalog, storeBuckets)
+    // Rolling store sketch pre-gate, same invariant as processNeardupBatch
+    // (merged BELOW, before the signature append).
+    val (sigSketch, sigCap, sigItems) =
+      IncrementalDedup.rollingSketch(catalog, storeBuckets)
     val (kept0, _, keptSigs0) = IncrementalDedup.dedupBatch(
-      tok, store, "doc_id", "toks", bands, rows)
+      tok, store, "doc_id", "toks", bands, rows, sketch = Some(sigSketch))
     val pairs = MinHash.candidatePairs(
       kept0.select("doc_id", "toks"), "doc_id", "toks", bands, rows,
       maxBucket = maxBucket)
@@ -444,6 +466,9 @@ object StreamingPipeline {
       batchId, budget, packBlockSize)
     val keptSigs = keptSigs0
       .join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
+    // Sketch merge MUST precede the signature append (superset invariant).
+    IncrementalDedup.mergeRollingSketch(
+      catalog, keptSigs, sigSketch, sigCap, sigItems, storeBuckets)
     IncrementalDedup.appendSignatures(catalog, keptSigs, batchId, storeBuckets)
     // COMMIT POINT
     catalog.append(

@@ -365,6 +365,58 @@ class StreamingSpec extends SparkSpecBase {
     streamed shouldBe batch
   }
 
+  test("rolling store sketch: gated sink ≡ ungated; sketch is a store superset through crash replay") {
+    import graft.sink.TranscriptCatalog
+    import graft.ops.IncrementalDedup
+    val batches = Seq(
+      Seq(1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "a completely different document about spark physical plans"),
+      Seq(10L -> "the quick brown fox jumps over the lazy dog",
+        11L -> "entirely novel content regarding duckdb oracle checks"),
+      Seq(20L -> "entirely novel content regarding duckdb oracle checks",
+        21L -> "fresh words about bloom sketches and bucketed stores"))
+      .map(_.toDF("doc_id", "text"))
+    def runAll(out: String, gate: Boolean): Seq[String] = {
+      batches.zipWithIndex.foreach { case (df, i) =>
+        StreamingPipeline.processNeardupBatch(df, i.toLong, out, 2, 1,
+          storePreGate = gate)
+      }
+      spark.read.parquet(s"$out/docs_kept").select("doc_id", "batch_id")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val outGated = tmpDir("stream-sketch-on")
+    val gated = runAll(outGated, gate = true)
+    val ungated = runAll(tmpDir("stream-sketch-off"), gate = false)
+    gated shouldBe ungated
+    // dup docs 10 and 20 were dropped, so the gate really filtered
+    gated.mkString should not include "[10,"
+
+    // SUPERSET invariant: every store key probes true in the persisted
+    // sketch (a miss would silently skip a true duplicate)
+    val catalog = new TranscriptCatalog(outGated, spark)
+    def assertSuperset(): Unit = {
+      val (sketch, _, _) = IncrementalDedup.loadRollingSketch(catalog, 0.01).get
+      val keys = catalog.read(IncrementalDedup.StoreTable)
+        .select("band_idx", "band_hash")
+        .collect().map(r => s"${r.getInt(0)}:${r.getString(1)}")
+      keys should not be empty
+      keys.foreach { k =>
+        assert(sketch.mightContainBinary(k.getBytes("UTF-8")), s"sketch misses store key $k")
+      }
+    }
+    assertSuperset()
+
+    // crash replay: the last batch's marker vanishes (crash after the
+    // sketch merge + signature append); the replay must converge to the
+    // same docs and keep the superset invariant
+    catalog.dropPartitions("batches", "batch_id", _ == "2")
+    StreamingPipeline.processNeardupBatch(batches(2), 2L, outGated, 2, 1,
+      storePreGate = true)
+    spark.read.parquet(s"$outGated/docs_kept").select("doc_id", "batch_id")
+      .collect().map(_.toString).sorted.toSeq shouldBe gated
+    assertSuperset()
+  }
+
   test("streaming per-source cap spends budget across micro-batches and never exceeds k") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
