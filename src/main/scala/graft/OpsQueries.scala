@@ -1208,6 +1208,24 @@ object OpsQueries {
         .select(col("doc_id"), col("source"), col("keep_rank"))
     }),
 
+    // --- TX6d: deterministic train/val/test split assignment (round 6) —
+    //     the release partition every dataset ships with. Keyed on the
+    //     CONTENT hash, not the doc id: two verbatim copies of a page
+    //     land in the SAME split by construction, so an undetected exact
+    //     dup can never leak train text into the eval split (the classic
+    //     split-leakage bug an id-keyed split invites). Pure projection —
+    //     no shuffle, no state; exhaustive and disjoint by construction. ---
+    "tx_split_assign" -> ((s: SparkSession, dir: String) => {
+      val bucket = expr(
+        "pmod(CAST(conv(substring(md5(md5(text)), 1, 8), 16, 10) AS BIGINT), 100)")
+      docs(s, dir).select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, lit("train"))
+            .when(col("bucket") < 95, lit("val"))
+            .otherwise(lit("test")))
+        .select("doc_id", "split")
+    }),
+
     // --- TX6c: INCREMENTAL per-source capping (round 6) — the
     //     daily-ingest form of TX6b via `ops/IncrementalCap` (split at
     //     doc_id 250 into history/batch so the oracle can mirror both
@@ -2123,6 +2141,12 @@ object OpsQueries {
           |  FROM h)
           |SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
           |FROM r WHERE keep_rank < 10""".stripMargin.replace("\n", " "),
+      "tx_split_assign" ->
+        """SELECT doc_id,
+          |  CASE WHEN ('0x' || substring(md5(md5(text)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+          |       WHEN ('0x' || substring(md5(md5(text)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents""".stripMargin.replace("\n", " "),
       // History (doc_id < 250) spends its per-source budget first; the
       // batch keeps while base + rank < k. Same order key as tx_cap_source.
       "q_incremental_capsource" ->
