@@ -226,8 +226,22 @@ object CorpusJob {
   * text: string) — the `documents` table shape.
   */
 object CorpusMain {
+
+  private val KnownFlags = Set(
+    "--input", "--out", "--eval", "--quality-min", "--budgets",
+    "--budget-default", "--pack-budget", "--bands", "--rows", "--master",
+    "--scrub", "--rep-policy")
+
   def main(args: Array[String]): Unit = {
+    // Strict parsing (round-6 review): a release entry point must REJECT
+    // a misspelled flag or a flag whose value was forgotten — silently
+    // running with defaults ships a wrong release.
+    require(args.length % 2 == 0,
+      s"dangling argument '${args.last}': every flag takes exactly one value")
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val unknown = opts.keySet -- KnownFlags
+    require(unknown.isEmpty,
+      s"unknown flag(s) ${unknown.mkString(", ")}; known: ${KnownFlags.toSeq.sorted.mkString(", ")}")
     val input = opts.getOrElse("--input", sys.error("--input <docs parquet> is required"))
     val out = opts.getOrElse("--out", sys.error("--out <catalog root> is required"))
     val builder = SparkSession.builder()

@@ -99,8 +99,18 @@ object Decontam {
       setId: String,
       nBuckets: Int = 16
   ): Unit = {
+    require(setId.matches("[A-Za-z0-9._-]+"),
+      s"eval set id '$setId' must match [A-Za-z0-9._-]+ (it becomes a " +
+        "partition directory name and a quoted SQL literal)")
     catalog.ensureBucketed(
       GramTable, GramSchemaDdl, GramBucketCols, nBuckets, GramPartitionCols)
+    // Invalidate the persisted gram sketch BEFORE any content change: a
+    // re-publish under the SAME set id leaves `committedSets` unchanged,
+    // so the sketch's manifest header alone cannot detect it — and a
+    // sketch missing the corrected set's grams would false-negative the
+    // pre-gated release gate. Deleting first makes every crash window
+    // safe: the next load rebuilds from whatever the store then holds.
+    catalog.deleteBlob(GramTable, SketchBlob)
     catalog.dropPartitions(SetManifestTable, "set_id", _ == setId)
     catalog.dropBucketedPartition(GramTable, "set_id", setId)
   }
@@ -117,6 +127,26 @@ object Decontam {
       catalog: graft.sink.TranscriptCatalog,
       nBuckets: Int = 16
   ): DataFrame = {
+    // Fail fast on a PRE-VERSIONING store (grams written at the table
+    // root before set_id partitioning existed): the partitioned read
+    // cannot see root files and `committedSets` is empty, so the gate
+    // would silently flag NOTHING — the one failure a decontamination
+    // gate must never have. One FS metadata listing.
+    locally {
+      val root = new org.apache.hadoop.fs.Path(s"${catalog.root}/$GramTable")
+      val fs = root.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        val legacy = fs.listStatus(root).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        require(legacy.isEmpty,
+          s"legacy un-versioned eval-gram store at $root (${legacy.length} " +
+            "root-level parquet files): these grams are INVISIBLE to the " +
+            "set_id-partitioned gate. Re-publish the eval set via " +
+            "publishEvalSet (which writes a versioned partition + manifest) " +
+            "and delete the root-level files.")
+      }
+    }
     catalog.ensureBucketed(
       GramTable, GramSchemaDdl, GramBucketCols, nBuckets, GramPartitionCols)
     val committed = committedSets(catalog)
@@ -154,10 +184,12 @@ object Decontam {
       expectedItems: Long = 0L,
       fpp: Double = 0.01
   ): org.apache.spark.util.sketch.BloomFilter = {
-    val actual = store.count()
-    val n = if (expectedItems > 0) expectedItems else math.max(actual, 64L)
-    // stat.bloomFilter NPEs on zero rows (null aggregate buffer)
-    if (actual == 0) org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(store.count(), 64L)
+    // stat.bloomFilter NPEs on zero rows (null aggregate buffer); the
+    // emptiness probe is a limit-1 scan, so a caller-supplied size still
+    // skips the full count the scaladoc promises to skip
+    if (store.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
     else store.stat.bloomFilter("gh", n, fpp)
   }
 

@@ -87,10 +87,11 @@ object IncrementalDedup {
       fpp: Double = 0.01
   ): org.apache.spark.util.sketch.BloomFilter = {
     val keyed = store.select(bloomKey.as("bk"))
-    val actual = keyed.count()
-    val n = if (expectedItems > 0) expectedItems else math.max(actual, 64L)
-    // stat.bloomFilter NPEs on zero rows (null aggregate buffer)
-    if (actual == 0) org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(keyed.count(), 64L)
+    // stat.bloomFilter NPEs on zero rows (null aggregate buffer); the
+    // emptiness probe is a limit-1 scan, not a count
+    if (keyed.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
     else keyed.stat.bloomFilter("bk", n, fpp)
   }
 

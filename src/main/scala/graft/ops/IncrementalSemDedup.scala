@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   * Commit protocol per batch (the marker is the commit point, as in every
   * store in this repo): survivors overwrite their batch_id partition of
   * `emb_kept` (exactly-once under replay), then append to the bucketed
-  * store, then the marker. A replay after the store append finds its own
-  * vectors in the store, keeps nothing, and touches nothing.
+  * store, then the marker. The cross-batch join EXCLUDES the batch's own
+  * vec_ids from the store, so a replay after a full OR PARTIAL store
+  * append reproduces the first attempt's kept set exactly (the store
+  * gains duplicate rows for the batch at worst — a semi-style join with
+  * a distinct on the dup ids tolerates them).
   */
 object IncrementalSemDedup {
 
@@ -93,8 +96,16 @@ object IncrementalSemDedup {
       .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
     // Cross-batch drop: within-cell cosine vs the store's kept vectors.
     // The store side provides its own cell partitioning (bucketed); the
-    // dup-id set is tiny and feeds one anti join.
+    // dup-id set is tiny and feeds one anti join. The store EXCLUDES this
+    // batch's own vec_ids (one broadcast anti join — the micro-batch is
+    // the small side by construction): a crash between a partial store
+    // append and the marker would otherwise make the replay drop vectors
+    // against their own half-landed copies and REPLACE the kept partition
+    // with the shrunken set. With the exclusion every crash window
+    // replays against exactly the store the first attempt saw.
+    val ownIds = broadcast(batch.select("vec_id"))
     val st = store(catalog, storeBuckets)
+      .join(ownIds, Seq("vec_id"), "left_anti")
       .select(col("cell"), col("v").as("sv"), col("nrm").as("sn"))
     val crossDup = assigned.join(st, Seq("cell"))
       .filter(dot("v", "sv") / (col("nrm") * col("sn")) >= minCos)

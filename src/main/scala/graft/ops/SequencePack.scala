@@ -77,9 +77,21 @@ object SequencePack {
           .orderBy(blk).rowsBetween(Window.unboundedPreceding, -1)
         (totals.withColumn(off, coalesce(sum(tot).over(w), lit(0L))), true)
       } else {
+        // The recursion regroups BLOCK INDICES, not original ids, so its
+        // block size must suit that domain, not the caller's. Reusing the
+        // caller's blockSize is correct for DENSE ids (blocks fill, rows
+        // shrink ~blockSize× per level) but degenerates for SPARSE ids
+        // (e.g. a 62-bit hash order key): level-0 blocks hold ~1 row, the
+        // indices compress into a small range, and one recursion block
+        // would swallow the whole range — a single-task sort of all of a
+        // key's block totals, the exact shape this function exists to
+        // avoid. A width-W integer interval holds ≤ W distinct indices
+        // whatever the sparsity, so a fixed W = max(maxTopRows, 4096)
+        // bounds every deeper window at W rows AND keeps the level count
+        // at log_W(domain) for any id distribution.
         (exclusivePrefixSum(
-          totals, blk, tot, off, blockSize, maxTopRows, reliable,
-          keyCols, level + 1),
+          totals, blk, tot, off, math.max(maxTopRows, 4096L), maxTopRows,
+          reliable, keyCols, level + 1),
           false)
       }
     val joinCols = keyCols :+ blk

@@ -202,6 +202,15 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
       s"failed to commit blob '$name' for '$table': rename $tmp -> $p")
   }
 
+  /** Delete a sidecar blob; a no-op when absent. Used to INVALIDATE
+    * derived state (a sketch) before mutating what it was derived from.
+    */
+  def deleteBlob(table: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${path(table)}/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Read a sidecar blob written by [[writeBlob]]; None if absent. */
   def readBlob(table: String, name: String): Option[Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(s"${path(table)}/$name")
@@ -287,6 +296,12 @@ final class TranscriptCatalog(val root: String, spark: SparkSession) {
     * files), then the directory. Used by versioned-store retraction.
     */
   def dropBucketedPartition(table: String, partitionCol: String, value: String): Unit = {
+    // The value lands inside SQL quotes AND a partition directory name —
+    // reject anything that could break either (a quote breaks the ALTER,
+    // a '/' or '=' breaks the set_id=<value> directory protocol).
+    require(value.matches("[A-Za-z0-9._-]+"),
+      s"partition value '$value' must match [A-Za-z0-9._-]+ (it becomes " +
+        "a quoted SQL literal and a partition directory name)")
     val name = bucketedName(table)
     if (spark.catalog.tableExists(name))
       spark.sql(

@@ -303,7 +303,18 @@ object StreamingPipeline {
           .contains(batchId.toString)) return
     // shingles is column-preserving, so text rides along for the kept sink
     val tok = IncrementalDedup.shingles(batch, "text")
+    // The store join EXCLUDES this batch's own id: a crash between a
+    // PARTIAL signature append and the marker would otherwise make the
+    // replay match docs against their own half-landed signatures and
+    // silently drop them from docs_kept (the dynamic overwrite then
+    // REPLACES the partition with the shrunken set). With the exclusion
+    // a replay sees exactly the store the first attempt saw, so every
+    // crash window converges to the original kept set. The re-append of
+    // the replay's signatures duplicates rows within this batch id only —
+    // harmless for a semi-join, and every read from here on excludes or
+    // tolerates them the same way.
     val store = IncrementalDedup.signatureStore(catalog, storeBuckets)
+      .filter(col("batch_id") =!= lit(batchId))
     // The ROLLING store sketch (round-6): a persisted Bloom superset of
     // the store's keys pre-gates the semi-join, so a steady-state
     // micro-batch probes a ~MB-sized sketch instead of shuffling all its
@@ -433,7 +444,11 @@ object StreamingPipeline {
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val tok = IncrementalDedup.shingles(
       q.join(exactKeep, Seq("doc_id"), "left_semi"), "text")
+    // Own-batch exclusion: same partial-append crash rationale as
+    // processNeardupBatch — a replay must see the store the first
+    // attempt saw, never its own half-landed signatures.
     val store = IncrementalDedup.signatureStore(catalog, storeBuckets)
+      .filter(col("batch_id") =!= lit(batchId))
     // Rolling store sketch pre-gate, same invariant as processNeardupBatch
     // (merged BELOW, before the signature append).
     val (sigSketch, sigCap, sigItems) =

@@ -233,6 +233,50 @@ class DecontamSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)) shouldBe Array(2L)
   }
 
+  test("re-publishing the SAME set id invalidates the persisted sketch — no false-negative gate") {
+    // The round-6 review case: committedSets is UNCHANGED by a same-id
+    // re-publish, so the sketch header alone cannot detect it —
+    // publish/retract must delete the blob.
+    val out = tmpDir("decontam-samerepub")
+    val catalog = new TranscriptCatalog(out, spark)
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> evalSentence).toDF("doc_id", "text"), nBuckets = 4, setId = "s1")
+    Decontam.loadOrBuildGramBloom(catalog, 4) // persist the v1 sketch
+    // corrected set under the SAME id: different sentences entirely
+    Decontam.publishEvalSet(catalog,
+      Seq(901L -> evalSentence2).toDF("doc_id", "text"), nBuckets = 4, setId = "s1")
+    val sketch = Decontam.loadOrBuildGramBloom(catalog, 4)
+    val train = Seq(
+      1L -> s"padding before $evalSentence padding after this page continues on",
+      2L -> s"padding before $evalSentence2 padding after this page continues on")
+      .toDF("doc_id", "text")
+    // a stale sketch would pre-gate away the corrected grams → miss doc 2
+    Decontam.contaminatedIdsBloom(train, Decontam.evalGramStore(catalog, 4), sketch)
+      .collect().map(_.getLong(0)) shouldBe Array(2L)
+  }
+
+  test("a legacy un-versioned gram store fails fast instead of silently gating nothing") {
+    val out = tmpDir("decontam-legacy")
+    val catalog = new TranscriptCatalog(out, spark)
+    // simulate a pre-versioning store: gram parquet at the table ROOT
+    Seq("deadbeef").toDF("gh").write.mode("overwrite")
+      .parquet(s"$out/${Decontam.GramTable}")
+    val ex = intercept[IllegalArgumentException] {
+      Decontam.evalGramStore(catalog, 4)
+    }
+    ex.getMessage should include("legacy")
+  }
+
+  test("an eval set id that would break the partition protocol is rejected") {
+    val out = tmpDir("decontam-badid")
+    val catalog = new TranscriptCatalog(out, spark)
+    intercept[IllegalArgumentException] {
+      Decontam.publishEvalSet(catalog,
+        Seq(1L -> evalSentence).toDF("doc_id", "text"), nBuckets = 4,
+        setId = "q1'24/bench")
+    }.getMessage should include("set id")
+  }
+
   test("store gate equals the oracled dd_decontam_ngram on the real corpus") {
     val dir = "/root/testdata/sf0.01"
     val out = tmpDir("decontam-corpus")

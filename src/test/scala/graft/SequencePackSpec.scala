@@ -30,15 +30,40 @@ class SequencePackSpec extends SparkSpecBase {
       .toMap
   }
 
-  test("blockSize forcing 125 blocks and 3 recursion levels equals the sequential scan") {
+  test("blockSize forcing 125 blocks and a genuine recursion equals the sequential scan") {
     // 500 ids / blockSize 4 = 125 blocks (> 100, the verdict's bar);
-    // 125 > maxTopRows 8 → level 2 has 32 blocks; 32 > 8 → level 3 has 8
-    // ≤ 8 → top window. Three genuine levels, every one bounded.
+    // 125 > maxTopRows 8 → the recursion regroups the block indices at
+    // width max(maxTopRows, 4096) and the top window sees ≤ 8 rows.
     val packed = SequencePack.pack(toks, "doc_id", "tokens",
         budget = 512, blockSize = 4, maxTopRows = 8)
       .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
       .toMap
     packed shouldBe sequential
+  }
+
+  test("SPARSE ids (62-bit hash-order keys) equal the per-key window reference") {
+    // The round-6 regression case: an order key spread over ~2^62 (the
+    // tx_cap_source hashOrd shape) puts ~1 row per level-0 block, so the
+    // recursion must regroup the SPARSE block indices at a bounded width
+    // — the pre-fix code swallowed a key's whole block range into one
+    // window task. Correctness gate here; the width bound holds by
+    // construction (a width-W interval holds ≤ W distinct integers).
+    val sparse = spark.range(0, 400).toDF("i")
+      .select(
+        (pmod(hash(col("i")), lit(1073741824)).cast("long") * 4194304L + col("i")).as("doc_id"),
+        when(col("i") < 300, lit("big")).otherwise(lit("small")).as("k"),
+        lit(1L).as("one"))
+      .localCheckpoint()
+    val w = Window.partitionBy("k").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = sparse.withColumn("cum", coalesce(sum("one").over(w), lit(0L)))
+      .select("doc_id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SequencePack.exclusivePrefixSum(sparse, "doc_id", "one",
+        "cum", blockSize = 1L << 40, maxTopRows = 8, keyCols = Seq("k"))
+      .select("doc_id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
   }
 
   test("catalog parameters (blockSize 25, maxTopRows 8) equal the sequential scan") {

@@ -177,13 +177,28 @@ class StreamingSpec extends SparkSpecBase {
     spark.read.parquet(s"$out/docs_kept").select("doc_id")
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 10L)
     // Crash window B: batch 1 died AFTER its signature append but before
-    // the marker. The replay finds its own signatures, keeps nothing, and
-    // the empty dynamic overwrite must leave the committed docs intact.
+    // the marker. The replay EXCLUDES its own batch id from the store
+    // (round-6 fix), so it reproduces the original kept set instead of
+    // matching docs against their own signatures.
     catalog.dropPartitions("batches", "batch_id", _ == "1")
     StreamingPipeline.processNeardupBatch(b1, 1L, out, 2, 1)
     val docs = spark.read.parquet(s"$out/docs_kept")
     docs.count() shouldBe 2L
     docs.select("doc_id").distinct().count() shouldBe 2L
+
+    // Crash window C (the round-6 review case): batch 2's signature
+    // append landed PARTIALLY (here: fully — the worst case of "some
+    // rows visible") and the marker didn't. Pre-fix, the replay dropped
+    // every doc whose signatures landed and REPLACED the partition with
+    // the shrunken set — doc 20 would vanish from docs_kept while its
+    // signatures stayed in the store.
+    val b2 = Seq(20L -> "completely fresh text about partial append windows")
+      .toDF("doc_id", "text")
+    StreamingPipeline.processNeardupBatch(b2, 2L, out, 2, 1)
+    catalog.dropPartitions("batches", "batch_id", _ == "2")
+    StreamingPipeline.processNeardupBatch(b2, 2L, out, 2, 1)
+    spark.read.parquet(s"$out/docs_kept").select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 10L, 20L)
   }
 
   test("pre-round-4 stores migrate: files re-bucketed, marker rows become batch markers") {
