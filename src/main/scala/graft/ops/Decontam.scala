@@ -222,11 +222,18 @@ object Decontam {
       fpp: Double = 0.01
   ): org.apache.spark.util.sketch.BloomFilter = {
     val header = committedSets(catalog).sorted.mkString(",") + s";fpp=$fpp"
+    // A corrupt or future-format blob must trigger a rebuild, not crash
+    // every export micro-batch — the sketch is derived state (same
+    // NonFatal-and-rebuild stance as IncrementalDedup.loadRollingSketch).
     catalog.readBlob(GramTable, SketchBlob).foreach { bytes =>
-      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-      val hb = new Array[Byte](in.readInt()); in.readFully(hb)
-      if (new String(hb, "UTF-8") == header)
-        return org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      try {
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+        val hb = new Array[Byte](in.readInt()); in.readFully(hb)
+        if (new String(hb, "UTF-8") == header)
+          return org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      } catch {
+        case scala.util.control.NonFatal(_) => () // fall through to rebuild
+      }
     }
     val sketch = gramBloom(evalGramStore(catalog, nBuckets), fpp = fpp)
     val bos = new java.io.ByteArrayOutputStream()

@@ -37,6 +37,12 @@ object IncrementalCap {
   val DocsTable = "docs_capped"
   val MarkerTable = "cap_batches"
 
+  /** Sentinel group for NULL sources (see [[processBatch]]) — null keys
+    * would silently drop out of the prefix-sum equi-join, violating the
+    * every-doc-gets-a-verdict audit contract.
+    */
+  val NullSourceSentinel = "__null_source__"
+
   /** The deterministic selection-order key shared by tx_cap_source and
     * the incremental form (ONE definition so the two cannot drift, and
     * mirrorable in DuckDB as `('0x' || substring(md5(id::VARCHAR), 1,
@@ -108,7 +114,15 @@ object IncrementalCap {
           "budget its own future has already spent")
     }
     val spark = batchDocs.sparkSession
-    val ranked = rankInSource(batchDocs.select("doc_id", "source"),
+    // NULL sources are coalesced to a sentinel group rather than dropped:
+    // exclusivePrefixSum attaches offsets by equi-join on the key, which
+    // silently loses null keys — and the audit contract above is that
+    // EVERY batch doc gets a verdict row. The sentinel also keeps the
+    // cross-batch budget for the null group (counts rows join by the same
+    // sentinel value).
+    val ranked = rankInSource(
+      batchDocs.select(col("doc_id"),
+        coalesce(col("source"), lit(NullSourceSentinel)).as("source")),
       blockSize, maxTopRows)
     val out = ranked.join(baseCounts(catalog, committed, spark), Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("keep_rank"),

@@ -109,10 +109,15 @@ object IncrementalLineDedup {
     // to ~|batch units| (+fpp noise). False positives only aggregate a few
     // extra units that the left join below then ignores; false negatives
     // are impossible, so outputs are bit-identical (spec-asserted).
+    // stat.bloomFilter NPEs on a zero-row input (null aggregate buffer),
+    // so a post-first-commit micro-batch with only empty/whitespace texts
+    // (zero line units) must skip the gate — histRows ungated is still
+    // correct, the left join below just finds nothing to match.
+    val nBatchUnits = batchCounts.count()
     val histGated =
-      if (storePreGate && committed.nonEmpty) {
+      if (storePreGate && committed.nonEmpty && nBatchUnits > 0) {
         val sketch = batchCounts.stat.bloomFilter(
-          "lh", math.max(batchCounts.count(), 64L), 0.01)
+          "lh", math.max(nBatchUnits, 64L), 0.01)
         histRows.filter(
           graft.functions.BloomMightContain.mightContain(col("lh"), sketch))
       } else histRows

@@ -105,10 +105,15 @@ object IncrementalSubstringDedup {
     // skip the aggregation. False positives are ignored by the left join
     // below; false negatives are impossible — outputs are bit-identical
     // (spec-asserted).
+    // stat.bloomFilter NPEs on a zero-row input (null aggregate buffer),
+    // so a post-first-commit batch whose docs are all shorter than k
+    // grams must skip the gate (histRows ungated is still correct — the
+    // left join below just finds no batch grams to match).
+    val nBatchGrams = batchCounts.count()
     val histGated =
-      if (storePreGate && committed.nonEmpty) {
+      if (storePreGate && committed.nonEmpty && nBatchGrams > 0) {
         val sketch = batchCounts.stat.bloomFilter(
-          "gh", math.max(batchCounts.count(), 64L), 0.01)
+          "gh", math.max(nBatchGrams, 64L), 0.01)
         histRows.filter(
           graft.functions.BloomMightContain.mightContain(col("gh"), sketch))
       } else histRows

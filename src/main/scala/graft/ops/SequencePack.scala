@@ -64,8 +64,11 @@ object SequencePack {
     // would let one huge key hide behind many small ones). nTotal drives
     // the broadcast decision — per-key bounds don't cap the key count.
     val nTotal = totals.count()
+    // An empty input (e.g. an empty streaming micro-batch) must take the
+    // window path with maxPerKey = 0: the keyed max probe below returns a
+    // NULL aggregate on zero groups and getLong would NPE.
     val maxPerKey =
-      if (keyCols.isEmpty) nTotal
+      if (keyCols.isEmpty || nTotal == 0) nTotal
       else totals.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
         .agg(max("__n")).head.getLong(0)
     val (offsets, smallTop) =

@@ -267,6 +267,28 @@ class DecontamSpec extends SparkSpecBase {
     ex.getMessage should include("legacy")
   }
 
+  test("a corrupt persisted sketch blob rebuilds instead of crashing every load") {
+    val out = tmpDir("decontam-corruptblob")
+    val catalog = new TranscriptCatalog(out, spark)
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> evalSentence).toDF("doc_id", "text"), nBuckets = 4, setId = "s1")
+    Decontam.loadOrBuildGramBloom(catalog, 4) // persist a valid sketch
+    // truncated / garbage blobs — both must fall through to a rebuild,
+    // and the rebuilt sketch must still gate correctly (no false negative)
+    for (bad <- Seq(Array[Byte](1, 2, 3), Array.fill(64)(0x7f.toByte))) {
+      catalog.writeBlob(Decontam.GramTable, Decontam.SketchBlob, bad)
+      val sketch = Decontam.loadOrBuildGramBloom(catalog, 4)
+      val train = Seq(
+        1L -> s"padding before $evalSentence padding after this page continues on",
+        2L -> "totally clean text with nothing shared at all here today now")
+        .toDF("doc_id", "text")
+      Decontam.contaminatedIdsBloom(train, Decontam.evalGramStore(catalog, 4), sketch)
+        .collect().map(_.getLong(0)) shouldBe Array(1L)
+      // and the rebuild re-persisted a VALID blob (next load reuses it)
+      catalog.readBlob(Decontam.GramTable, Decontam.SketchBlob).get should not be bad
+    }
+  }
+
   test("an eval set id that would break the partition protocol is rejected") {
     val out = tmpDir("decontam-badid")
     val catalog = new TranscriptCatalog(out, spark)

@@ -100,4 +100,37 @@ class IncrementalCapSpec extends SparkSpecBase {
       .sortBy(_._1)
     storeRows shouldBe queryRows
   }
+
+  test("an empty micro-batch commits as a no-op instead of NPEing") {
+    // The prefix-sum maxPerKey probe aggregates a null buffer on zero
+    // rows; an empty batch (common in streaming) must still commit its
+    // marker so the stream advances.
+    val out = tmpDir("inccap-empty")
+    val catalog = new TranscriptCatalog(out, spark)
+    IncrementalCap.processBatch(catalog, docsDf(Seq(1L -> "A")), 0L, 3)
+    val before = verdicts(catalog)
+    IncrementalCap.processBatch(catalog, docsDf(Seq.empty), 1L, 3)
+    IncrementalCap.committedBatches(catalog) shouldBe Set(0L, 1L)
+    verdicts(catalog) shouldBe before
+    IncrementalCap.processBatch(catalog, docsDf(Seq(10L -> "A")), 2L, 3)
+    verdicts(catalog)(10L)._3 shouldBe true
+  }
+
+  test("NULL sources are capped under a sentinel group, never silently dropped") {
+    val out = tmpDir("inccap-null")
+    val catalog = new TranscriptCatalog(out, spark)
+    val k = 2
+    val b0 = Seq[(java.lang.Long, String)]((1L, null), (2L, null), (3L, "A"))
+      .toDF("doc_id", "source")
+    IncrementalCap.processBatch(catalog, b0, 0L, k)
+    val v0 = verdicts(catalog)
+    // every doc got a verdict row (the audit contract)
+    v0.keySet shouldBe Set(1L, 2L, 3L)
+    v0(1L)._1 shouldBe IncrementalCap.NullSourceSentinel
+    Seq(v0(1L)._3, v0(2L)._3).count(identity) shouldBe 2 // both fit in k=2
+    // the null group's budget persists across batches
+    val b1 = Seq[(java.lang.Long, String)]((10L, null)).toDF("doc_id", "source")
+    IncrementalCap.processBatch(catalog, b1, 1L, k)
+    verdicts(catalog)(10L)._3 shouldBe false // budget spent by batch 0
+  }
 }

@@ -137,6 +137,24 @@ class IncrementalLineDedupSpec extends SparkSpecBase {
     storeRows shouldBe queryRows
   }
 
+  test("a post-commit batch with zero line units skips the pre-gate instead of NPEing") {
+    // stat.bloomFilter on an empty frame NPEs (null aggregate buffer), so
+    // an empty micro-batch arriving AFTER the first commit — the exact
+    // shape a streaming sink replays forever — must commit cleanly.
+    val out = tmpDir("incline-empty")
+    val catalog = new TranscriptCatalog(out, spark)
+    IncrementalLineDedup.processBatch(catalog,
+      docsDf(Seq(1L -> s"alpha beta gamma\n$boiler")), 0L)
+    val before = docsOf(catalog)
+    IncrementalLineDedup.processBatch(catalog, docsDf(Seq.empty), 1L)
+    IncrementalLineDedup.committedBatches(catalog) shouldBe Set(0L, 1L)
+    docsOf(catalog) shouldBe before
+    // and the stream continues normally afterwards
+    IncrementalLineDedup.processBatch(catalog,
+      docsDf(Seq(10L -> s"kappa lambda mu\n$boiler")), 2L)
+    docsOf(catalog)(10L)._2 shouldBe 1L
+  }
+
   test("the store-side bloom pre-gate never changes a scrub (gated ≡ ungated)") {
     // Same two-batch sequence into two catalogs, pre-gate on vs off: the
     // sketch of the batch's units may only SKIP history rows the batch

@@ -152,4 +152,27 @@ class IncrementalSubstringDedupSpec extends SparkSpecBase {
     }
     outs(0) shouldBe outs(1)
   }
+
+  test("a post-commit batch with only sub-k docs skips the pre-gate instead of NPEing") {
+    // Docs shorter than k tokens produce ZERO positioned grams, and
+    // stat.bloomFilter NPEs on an empty frame — so a post-first-commit
+    // batch of short docs must commit (its docs kept whole), not wedge
+    // the stream on a permanently-replaying NPE.
+    val out = tmpDir("incsub-short")
+    val catalog = new TranscriptCatalog(out, spark)
+    IncrementalSubstringDedup.processBatch(catalog,
+      docsDf(Seq(1L -> s"one two three four five six seven eight $boiler")), 0L)
+    val before = docsOf(catalog)
+    IncrementalSubstringDedup.processBatch(catalog,
+      docsDf(Seq(10L -> "tiny doc", 11L -> "three short words")), 1L)
+    IncrementalSubstringDedup.committedBatches(catalog) shouldBe Set(0L, 1L)
+    val after = docsOf(catalog)
+    after(1L) shouldBe before(1L)
+    after(10L) shouldBe ((2, 2, after(10L)._3)) // kept whole
+    after(11L)._2 shouldBe 3
+    // and the stream continues normally afterwards
+    IncrementalSubstringDedup.processBatch(catalog,
+      docsDf(Seq(20L -> s"alpha beta gamma delta epsilon zeta eta theta $boiler")), 2L)
+    docsOf(catalog)(20L)._2 should be < 17 // the cross-batch boiler span stripped
+  }
 }
