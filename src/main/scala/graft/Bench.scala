@@ -31,6 +31,11 @@ object Bench {
     val burnT0 = System.nanoTime()
     BenchOne.burn(spark)
     val burnSec = (System.nanoTime() - burnT0) / 1e9
+    // Disk counterpart (round-6 verdict item #2): the CPU burn misses
+    // host-I/O windows, which BENCH.md documents as 2-4x board-wide
+    // swings. A timed write/fsync loop makes those windows detectable in
+    // the artifact instead of argued from anecdote.
+    val diskBurnSec = BenchPipe.diskBurn()
 
     // A failed query must never masquerade as a fast timing: record a
     // success flag per query and surface the failed names in the output.
@@ -61,7 +66,8 @@ object Bench {
     // host_burn is a pseudo-entry: the control burn's seconds, excluded
     // from the total (it measures the HOST, not the engine).
     val all = results :+ (("pipeline_e2e", pipeSec, true))
-    val allWithBurn = all :+ (("host_burn", burnSec, true))
+    val allWithBurn = all :+ (("host_burn", burnSec, true)) :+
+      (("disk_burn", diskBurnSec, true))
     // A failed query's wall time is time-to-exception, not a measurement:
     // report it as -1 and EXCLUDE it from the total, so a regression to
     // failure can never read as a speedup (round-2 advice).

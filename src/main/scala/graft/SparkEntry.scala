@@ -30,5 +30,24 @@ object SparkEntry {
     * quantile buckets, IVF) → driver records rows-only; each of those has
     * a value-level or error-bound spec instead.
     */
-  def oracleSql: Map[String, String] = Queries.oracleSql
+  def oracleSql: Map[String, String] =
+    Queries.oracleSql.map { case (k, v) => k -> materializeCtes(v) }
+
+  /** Add DuckDB `AS MATERIALIZED` hints to every named CTE (round-6
+    * verdict item #1b). Purely a planner hint — results are unchanged —
+    * but it is the difference between the oracle pass finishing in
+    * seconds and timing out: DuckDB INLINES plain CTEs, so a recursive
+    * closure (`reach`) re-evaluates its `edges` input — and the whole
+    * shingle/minhash/quality chain feeding it — on EVERY iteration
+    * (measured: q_corpus_incremental 357 s inlined → 2.3 s materialized
+    * at sf0.01, identical rows). The recursive working tables themselves
+    * (`…reach(id, r)`) cannot take the hint and are skipped, as are named
+    * `WINDOW w AS (...)` clauses (same `name AS (` shape, not a CTE).
+    */
+  private[graft] def materializeCtes(sql: String): String =
+    if (!sql.toUpperCase.startsWith("WITH")) sql
+    else """(?i)(WINDOW\s+)?(\w+)(\(id, r\))?\s+AS\s+\(""".r.replaceAllIn(sql, m =>
+      if (m.group(1) != null || m.group(3) != null)
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else s"${m.group(2)} AS MATERIALIZED (")
 }
