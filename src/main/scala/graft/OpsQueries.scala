@@ -1014,6 +1014,31 @@ object OpsQueries {
         "doc_id", "tokens", budget = 512, blockSize = 25, maxTopRows = 8)
     }),
 
+    // --- CORPUS3c: the export under the TOKENIZER-TRUE counter (round-7)
+    //     — same five-stage chain; the quality/dedup/decontam stages are
+    //     token-independent (the memoized `clean` frame is REUSED), only
+    //     the budget mixing and packing re-run under the BPE subword
+    //     count. On web text BPE-vs-whitespace differs non-uniformly by
+    //     language, so the per-language budget cut lands on different
+    //     docs — this variant is what a release with real token budgets
+    //     runs, and its oracle folds the same inlined merge table. ---
+    "corpus_export_bpe" -> ((s: SparkSession, dir: String) => {
+      val budget = when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
+      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+          graft.functions.BpeTokens.bpeTokenCount(col("text")).as("tokens"))
+        .join(exportStages(s, dir).clean, Seq("doc_id"), "left_semi")
+      val mixed = graft.ops.SequencePack.exclusivePrefixSum(toks,
+          "doc_id", "tokens", "lang_cum",
+          blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
+        .filter(col("lang_cum") < budget)
+        .select("doc_id", "lang", "tokens")
+      graft.ops.SequencePack.exclusivePrefixSum(mixed,
+          "doc_id", "tokens", "gcum", blockSize = 25, maxTopRows = 8)
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          expr("gcum div 512").as("pack_id"),
+          pmod(col("gcum"), lit(512L)).as("pack_pos"))
+    }),
+
     // --- CORPUS4: the release DATACARD funnel (round 6) — per-stage doc
     //     and token counts through the whole export chain (train →
     //     quality → exact dedup → near-dup → decontam → mix), the table
@@ -1079,6 +1104,19 @@ object OpsQueries {
         size(split(col("text"), "\\s+")).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
           .as("re_tokens"))
+    }),
+
+    // --- TX3b: tokenizer-true token counting (round-7) — the fixed
+    //     inlined BPE-style merge table (graft.functions.BpeTokens)
+    //     applied as a native codegen'd expression, next to the
+    //     whitespace count it replaces when budgets need subword truth.
+    //     One projection; the oracle runs the identical merge fold as a
+    //     nested-replace scalar generated from the same table. ---
+    "tx_tokens_bpe" -> ((s: SparkSession, dir: String) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        graft.functions.BpeTokens.bpeTokenCount(col("text")).as("bpe_tokens"))
     }),
 
     // --- TX6: corpus n-gram frequency — the vocabulary-building pass of a
@@ -1515,8 +1553,12 @@ object OpsQueries {
     // chain below ends in `cents` (cell, cv) and `a1` (vec_id, v, cell) —
     // the refined index and the refined assignment.
     // The shared CTE head of both corpus_export oracles — the SQL twin of
-    // `exportMixed` ending in `mixed` (doc_id, lang, tokens).
-    val exportMixedSql =
+    // `exportMixed` ending in `mixed` (doc_id, lang, tokens). The chain
+    // up to `clean` is token-counter-independent; the mixing tail is
+    // parameterized on the token expression so the whitespace default and
+    // the BPE variant (round-7: tokenizer-true budgets) share one
+    // definition.
+    def exportMixedSqlWith(tokensExpr: String, mtExtraJoin: String = ""): String =
       s"""tr AS (SELECT * FROM documents WHERE doc_id < 450),
          |q0 AS (SELECT doc_id, text, lang, $qualitySqlDuck AS quality
          |  FROM tr),
@@ -1546,14 +1588,21 @@ object OpsQueries {
          |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN kept USING (doc_id) JOIN ev USING (gh)),
          |clean AS (SELECT kept.doc_id FROM kept LEFT JOIN cont ON kept.doc_id = cont.doc_id
          |          WHERE cont.doc_id IS NULL),
-         |mt AS (SELECT d.doc_id, d.lang, len(string_split(lower(d.text), ' ')) AS tokens
-         |       FROM documents d JOIN clean USING (doc_id)),
+         |mt AS (SELECT d.doc_id, d.lang, $tokensExpr AS tokens
+         |       FROM documents d JOIN clean USING (doc_id)$mtExtraJoin),
          |mc AS (SELECT doc_id, lang, tokens,
          |  coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lcum
          |  FROM mt),
          |mixed AS (SELECT doc_id, lang, tokens FROM mc
          |          WHERE lcum < CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END)"""
         .stripMargin.replace("\n", " ")
+    val exportMixedSql =
+      exportMixedSqlWith("len(string_split(lower(d.text), ' '))")
+    // BPE variant: the staged token-count CTE chain runs over `documents`
+    // first, and the mixing stage joins its per-doc counts.
+    val exportMixedBpeSql =
+      graft.functions.BpeTokens.tokenCountCtesDuck("bpt", "documents") + ", " +
+        exportMixedSqlWith("bpt.bpe_tokens", " JOIN bpt USING (doc_id)")
     val ivfCentsSql =
       """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
@@ -2085,6 +2134,13 @@ object OpsQueries {
         """SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
           |FROM documents""".stripMargin.replace("\n", " "),
+      // The BPE fold as a staged nested-replace CTE chain — built from
+      // the SAME merge-table literals the Scala expression applies.
+      "tx_tokens_bpe" ->
+        s"""WITH ${graft.functions.BpeTokens.tokenCountCtesDuck("bpt", "documents")}
+           |SELECT d.doc_id, len(string_split_regex(d.text, '\\s+')) AS ws_tokens,
+           |  bpt.bpe_tokens AS bpe_tokens
+           |FROM documents d JOIN bpt USING (doc_id)""".stripMargin.replace("\n", " "),
       "tx_ngram_freq" ->
         """SELECT bigram, count(*) AS cnt FROM (
           |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
@@ -2240,6 +2296,15 @@ object OpsQueries {
           |FROM f""".stripMargin.replace("\n", " "),
       "corpus_export" ->
         s"""WITH RECURSIVE $exportMixedSql,
+           |pc AS (SELECT doc_id, lang, tokens,
+           |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gcum
+           |  FROM mixed)
+           |SELECT doc_id, lang, CAST(tokens AS INT) AS tokens,
+           |  CAST(gcum // 512 AS BIGINT) AS pack_id,
+           |  CAST(gcum % 512 AS BIGINT) AS pack_pos
+           |FROM pc""".stripMargin.replace("\n", " "),
+      "corpus_export_bpe" ->
+        s"""WITH RECURSIVE $exportMixedBpeSql,
            |pc AS (SELECT doc_id, lang, tokens,
            |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gcum
            |  FROM mixed)

@@ -32,7 +32,14 @@ final case class CorpusConfig(
     // Near-dup cluster representative policy: "minlabel" (the CC label,
     // free) or "quality" (highest-quality member, ties → lowest doc_id —
     // the dd_cluster_rep selection; one extra ids+score groupBy).
-    repPolicy: String = "minlabel")
+    repPolicy: String = "minlabel",
+    // Token counter for budgets/packing/funnel: "whitespace" (default) or
+    // "bpe" (graft.functions.BpeTokens — tokenizer-true subword counts;
+    // on web text the two differ ~1.3-1.5x and non-uniformly by language,
+    // which skews per-language budget shares). Counter choice never
+    // affects the doc-SURVIVAL stages (quality/dedup/decontam are
+    // token-independent), only how much each survivor spends.
+    tokenCounter: String = "whitespace")
 
 /** The corpus release pipeline as a runnable batch JOB — the
   * operational twin of the oracle-checked `corpus_export` /
@@ -70,6 +77,11 @@ object CorpusJob {
       case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
     }
 
+  private def tokenCol(cfg: CorpusConfig): Column = cfg.tokenCounter match {
+    case "bpe" => graft.functions.BpeTokens.bpeTokenCount(col("text"))
+    case _ => size(split(lower(col("text")), " "))
+  }
+
   def run(
       spark: SparkSession,
       rawTrain: DataFrame, // (doc_id: long, lang: string, text: string)
@@ -99,6 +111,8 @@ object CorpusJob {
 
     require(cfg.repPolicy == "minlabel" || cfg.repPolicy == "quality",
       s"unknown rep policy '${cfg.repPolicy}' (minlabel | quality)")
+    require(cfg.tokenCounter == "whitespace" || cfg.tokenCounter == "bpe",
+      s"unknown token counter '${cfg.tokenCounter}' (whitespace | bpe)")
     // Stage 1: quality gate (the hashed-vocab linear classifier) + the
     // content hash the exact dedup keys on. One pass over the text; the
     // score rides along for the optional quality-rep policy in stage 3.
@@ -160,8 +174,7 @@ object CorpusJob {
     // Stage 5: per-language token budgets on the keyed hierarchical
     // prefix sum (doc-id order, deterministic).
     val toks = train.select(col("doc_id"), col("lang"),
-        org.apache.spark.sql.functions.size(split(lower(col("text")), " "))
-          .as("tokens"))
+        tokenCol(cfg).as("tokens"))
       .join(clean, Seq("doc_id"), "left_semi")
     val mixed = SequencePack.exclusivePrefixSum(toks,
         "doc_id", "tokens", "lang_cum",
@@ -178,9 +191,7 @@ object CorpusJob {
       maxTopRows = cfg.maxTopRows)
 
     // The datacard funnel, from the SAME frames the export just ran.
-    val toksAll = train.select(col("doc_id"),
-      org.apache.spark.sql.functions.size(split(lower(col("text")), " "))
-        .as("tokens"))
+    val toksAll = train.select(col("doc_id"), tokenCol(cfg).as("tokens"))
     def stat(ord: Int, name: String, ids: DataFrame): DataFrame =
       ids.select("doc_id").join(toksAll, Seq("doc_id"))
         .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
@@ -221,6 +232,9 @@ object CorpusJob {
   *                             verbatim-span cut, in that order)
   *     [--rep-policy minlabel|quality]  (near-dup cluster representative:
   *                             CC min-label, or highest-quality member)
+  *     [--token-counter whitespace|bpe]  (budget/packing/funnel token
+  *                             counts: whitespace words, or the fixed
+  *                             inlined BPE merge table — tokenizer-true)
   *
   * The input parquet must carry (doc_id: long, lang: string,
   * text: string) — the `documents` table shape.
@@ -230,7 +244,7 @@ object CorpusMain {
   private val KnownFlags = Set(
     "--input", "--out", "--eval", "--quality-min", "--budgets",
     "--budget-default", "--pack-budget", "--bands", "--rows", "--master",
-    "--scrub", "--rep-policy")
+    "--scrub", "--rep-policy", "--token-counter")
 
   def main(args: Array[String]): Unit = {
     // Strict parsing (round-6 review): a release entry point must REJECT
@@ -274,7 +288,8 @@ object CorpusMain {
       packBudget = opts.getOrElse("--pack-budget", "512").toInt,
       scrubLines = opts.get("--scrub").exists(_.split(",").contains("lines")),
       scrubSpans = opts.get("--scrub").exists(_.split(",").contains("spans")),
-      repPolicy = opts.getOrElse("--rep-policy", "minlabel"))
+      repPolicy = opts.getOrElse("--rep-policy", "minlabel"),
+      tokenCounter = opts.getOrElse("--token-counter", "whitespace"))
 
     val t0 = System.nanoTime()
     val result = CorpusJob.run(spark,

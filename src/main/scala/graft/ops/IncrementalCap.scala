@@ -62,19 +62,54 @@ object IncrementalCap {
 
   /** Kept-so-far counts per source over the COMMITTED batches (empty —
     * without touching the not-yet-created store — before the first
-    * commit).
+    * commit). The committed-state predicate is the watermark-compacted
+    * form ([[StoreCompaction.CommittedView.statePredicate]]): one base
+    * partition equality plus a BOUNDED isin over recent batches, not an
+    * In-literal over every batch ever committed.
     */
   def baseCounts(
       catalog: graft.sink.TranscriptCatalog,
-      committed: Set[Long],
+      view: StoreCompaction.CommittedView,
       spark: org.apache.spark.sql.SparkSession
   ): DataFrame =
-    if (committed.isEmpty)
+    if (view.isEmpty)
       spark.range(0).select(lit("").as("source"), lit(0L).as("base"))
     else
       catalog.read(CountsTable)
-        .filter(col("batch_id").isin(committed.toSeq: _*))
+        .filter(view.statePredicate(col("batch_id")))
         .groupBy("source").agg(sum("kept_docs").as("base"))
+
+  /** Fold committed batches beyond the `keepRecent` newest into the
+    * watermark base partition (the [[StoreCompaction]] protocol): the
+    * per-source counts of the folded batches — plus the previous base —
+    * are summed into ONE partition, their markers and raw partitions are
+    * GC'd, and every later [[baseCounts]] reads a bounded predicate.
+    * Verdicts are unchanged by construction (readers sum these rows;
+    * IncrementalCapSpec asserts identity). Idempotent and crash-safe:
+    * the watermark blob write is the commit point.
+    */
+  def compact(
+      catalog: graft.sink.TranscriptCatalog,
+      keepRecent: Int
+  ): Unit = {
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    StoreCompaction.foldTarget(view, keepRecent).foreach { wNew =>
+      val foldIds = view.recent.filter(_ <= wNew)
+      val foldView = StoreCompaction.CommittedView(view.watermark, foldIds)
+      val folded = catalog.read(CountsTable)
+        .filter(foldView.statePredicate(col("batch_id")))
+        .groupBy("source").agg(sum("kept_docs").as("kept_docs"))
+        .withColumn("batch_id", lit(StoreCompaction.basePartition(wNew)))
+        .select("source", "kept_docs", "batch_id")
+      catalog.overwritePartitions(folded, CountsTable, Seq("batch_id"))
+      // COMMIT POINT.
+      StoreCompaction.writeWatermark(catalog, MarkerTable, wNew)
+      catalog.dropPartitions(CountsTable, "batch_id",
+        StoreCompaction.gcStatePartition(wNew))
+      catalog.dropPartitions(MarkerTable, "batch_id",
+        StoreCompaction.gcMarkerPartition(wNew))
+    }
+  }
 
   /** Rank `docs` (doc_id, source) within each source in hash order —
     * exclusive prefix COUNT, i.e. rank 0 is the source's first doc.
@@ -103,15 +138,14 @@ object IncrementalCap {
       blockSize: Long = 1L << 40,
       maxTopRows: Long = 4096
   ): Unit = {
-    val committed = committedBatches(catalog)
-    if (committed.contains(batchId)) return
-    if (committed.nonEmpty) {
-      val maxCommitted = committed.max
-      require(batchId > maxCommitted,
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    if (view.contains(batchId)) return
+    if (!view.isEmpty) {
+      require(batchId > view.maxCommitted,
         s"out-of-order cap batch: batchId=$batchId but batch " +
-          s"$maxCommitted already committed — per-source budgets assume " +
-          "ascending commits, and an out-of-order batch would spend " +
-          "budget its own future has already spent")
+          s"${view.maxCommitted} already committed — per-source budgets " +
+          "assume ascending commits, and an out-of-order batch would " +
+          "spend budget its own future has already spent")
     }
     val spark = batchDocs.sparkSession
     // NULL sources are coalesced to a sentinel group rather than dropped:
@@ -124,7 +158,7 @@ object IncrementalCap {
       batchDocs.select(col("doc_id"),
         coalesce(col("source"), lit(NullSourceSentinel)).as("source")),
       blockSize, maxTopRows)
-    val out = ranked.join(baseCounts(catalog, committed, spark), Seq("source"), "left")
+    val out = ranked.join(baseCounts(catalog, view, spark), Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("keep_rank"),
         (col("keep_rank") + coalesce(col("base"), lit(0L)) < k).as("kept"),
         lit(batchId).as("batch_id"))

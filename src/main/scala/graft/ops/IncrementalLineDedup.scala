@@ -60,6 +60,45 @@ object IncrementalLineDedup {
   def committedBatches(catalog: graft.sink.TranscriptCatalog): Set[Long] =
     catalog.listPartitionValues(MarkerTable, "batch_id").map(_.toLong).toSet
 
+  /** Fold committed batches beyond the `keepRecent` newest into the
+    * watermark base partition (the [[StoreCompaction]] protocol, the
+    * bucketed-table form): per-unit counts of the folded batches — plus
+    * the previous base — are summed into ONE bucketed partition (the
+    * groupBy runs exchange-free on the bucketed read), markers and raw
+    * partitions are GC'd, and the per-batch history predicate stays
+    * bounded forever. Readers SUM count rows, so scrub verdicts are
+    * unchanged by construction (spec-asserted).
+    */
+  def compact(
+      catalog: graft.sink.TranscriptCatalog,
+      keepRecent: Int,
+      nBuckets: Int = 16
+  ): Unit = {
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    StoreCompaction.foldTarget(view, keepRecent).foreach { wNew =>
+      val foldIds = view.recent.filter(_ <= wNew)
+      val foldView = StoreCompaction.CommittedView(view.watermark, foldIds)
+      val basePart = StoreCompaction.basePartition(wNew)
+      val folded = countStore(catalog, nBuckets)
+        .filter(foldView.statePredicate(col("batch_id")))
+        .groupBy("lh").agg(sum("cnt").as("cnt"))
+        .withColumn("batch_id", lit(basePart))
+        .select("lh", "cnt", "batch_id")
+        // the source partitions are deleted below — sever the lineage
+        .localCheckpoint()
+      catalog.dropBucketedPartition(CountsTable, "batch_id", basePart.toString)
+      catalog.appendBucketed(
+        folded, CountsTable, CountsBucketCols, nBuckets, CountsPartitionCols)
+      // COMMIT POINT.
+      StoreCompaction.writeWatermark(catalog, MarkerTable, wNew)
+      catalog.listPartitionValues(CountsTable, "batch_id")
+        .filter(StoreCompaction.gcStatePartition(wNew))
+        .foreach(v => catalog.dropBucketedPartition(CountsTable, "batch_id", v))
+      catalog.dropPartitions(MarkerTable, "batch_id",
+        StoreCompaction.gcMarkerPartition(wNew))
+    }
+  }
+
   /** Scrub one batch of docs against the committed history and commit
     * it. Replaying a committed batchId is a no-op; an out-of-order
     * batchId fails fast. Emits nothing — the scrubbed rows land in
@@ -75,15 +114,14 @@ object IncrementalLineDedup {
       nBuckets: Int = 16,
       storePreGate: Boolean = true
   ): Unit = {
-    val committed = committedBatches(catalog)
-    if (committed.contains(batchId)) return
-    if (committed.nonEmpty) {
-      val maxCommitted = committed.max
-      require(batchId > maxCommitted,
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    if (view.contains(batchId)) return
+    if (!view.isEmpty) {
+      require(batchId > view.maxCommitted,
         s"out-of-order line-dedup batch: batchId=$batchId but batch " +
-          s"$maxCommitted already committed — historical totals assume " +
-          "ascending commits, and an out-of-order batch would strip " +
-          "against a history that already contains its future")
+          s"${view.maxCommitted} already committed — historical totals " +
+          "assume ascending commits, and an out-of-order batch would " +
+          "strip against a history that already contains its future")
     }
     val spark = batchDocs.sparkSession
     // One unit-hash pass feeds the batch counts, the over-threshold
@@ -95,9 +133,9 @@ object IncrementalLineDedup {
     // half-written rows are invisible); the store reads bucketed by lh,
     // so this aggregation never exchanges the store side.
     val store = countStore(catalog, nBuckets)
-    val histRows =
-      if (committed.isEmpty) store.filter(lit(false))
-      else store.filter(col("batch_id").isin(committed.toSeq: _*))
+    // Watermark-compacted committed predicate: base-partition equality
+    // plus a bounded isin (StoreCompaction), never an all-history In.
+    val histRows = store.filter(view.statePredicate(col("batch_id")))
     // Store-side Bloom pre-gate (round-6, the INVERSE direction of the
     // decontam gate): history only matters for units PRESENT IN THIS
     // BATCH, and the batch's distinct-unit set is the small side here —
@@ -115,7 +153,7 @@ object IncrementalLineDedup {
     // correct, the left join below just finds nothing to match.
     val nBatchUnits = batchCounts.count()
     val histGated =
-      if (storePreGate && committed.nonEmpty && nBatchUnits > 0) {
+      if (storePreGate && !view.isEmpty && nBatchUnits > 0) {
         val sketch = batchCounts.stat.bloomFilter(
           "lh", math.max(nBatchUnits, 64L), 0.01)
         histRows.filter(

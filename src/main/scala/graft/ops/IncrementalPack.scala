@@ -27,15 +27,18 @@ object IncrementalPack {
   val OffsetTable = "pack_offsets"
   val MarkerTable = "pack_batches"
 
-  /** Running token total after the highest committed batch (0 for none). */
+  /** Running token total after the highest committed batch (0 for none).
+    * The folded base partition carries a NEGATIVE batch_id
+    * ([[StoreCompaction.basePartition]]), so the newest-first order
+    * correctly prefers any individually tracked recent batch over it.
+    */
   def committedBase(catalog: graft.sink.TranscriptCatalog): Long = {
-    val committed = catalog.listPartitionValues(MarkerTable, "batch_id")
-      .map(_.toLong).toSet
-    if (committed.isEmpty || !catalog.exists(OffsetTable)) return 0L
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    if (view.isEmpty || !catalog.exists(OffsetTable)) return 0L
     // batch_id is the offsets table's partition column, so this filter
-    // prunes to the one newest committed directory.
+    // prunes to the selected directories (bounded: base + recent).
     val rows = catalog.read(OffsetTable)
-      .filter(col("batch_id").isin(committed.toSeq: _*))
+      .filter(view.statePredicate(col("batch_id")))
       .orderBy(col("batch_id").desc).limit(1)
       .select("total_after").collect()
     rows.headOption.map(_.getLong(0)).getOrElse(0L)
@@ -48,14 +51,48 @@ object IncrementalPack {
     */
   private def committedMaxDoc(
       catalog: graft.sink.TranscriptCatalog,
-      committed: Set[Long]
+      view: StoreCompaction.CommittedView
   ): Option[Long] = {
-    if (committed.isEmpty || !catalog.exists(OffsetTable)) return None
+    if (view.isEmpty || !catalog.exists(OffsetTable)) return None
     val offsets = catalog.read(OffsetTable)
     if (!offsets.columns.contains("max_doc")) return None
-    val r = offsets.filter(col("batch_id").isin(committed.toSeq: _*))
+    val r = offsets.filter(view.statePredicate(col("batch_id")))
       .agg(max(col("max_doc"))).head
     if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** Fold committed batches beyond the `keepRecent` newest into one base
+    * offsets row (the [[StoreCompaction]] protocol): the fold keeps the
+    * HIGHEST folded batch's running totals and the max committed doc id —
+    * exactly what [[committedBase]]/[[committedMaxDoc]] read — so packing
+    * continues bit-identically (spec-asserted). The packed OUTPUT
+    * partitions are data, not state, and are never touched.
+    */
+  def compact(
+      catalog: graft.sink.TranscriptCatalog,
+      keepRecent: Int
+  ): Unit = {
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    StoreCompaction.foldTarget(view, keepRecent).foreach { wNew =>
+      val foldIds = view.recent.filter(_ <= wNew)
+      val foldView = StoreCompaction.CommittedView(view.watermark, foldIds)
+      val rows = catalog.read(OffsetTable)
+        .filter(foldView.statePredicate(col("batch_id")))
+        .agg(
+          max(struct(col("batch_id"), col("base"), col("total_after"))).as("m"),
+          max(col("max_doc")).as("max_doc"))
+        .select(col("m.base").as("base"), col("m.total_after").as("total_after"),
+          coalesce(col("max_doc"), lit(Long.MinValue)).as("max_doc"))
+        .withColumn("batch_id", lit(StoreCompaction.basePartition(wNew)))
+        .select("batch_id", "base", "total_after", "max_doc")
+      catalog.overwritePartitions(rows, OffsetTable, Seq("batch_id"))
+      // COMMIT POINT.
+      StoreCompaction.writeWatermark(catalog, MarkerTable, wNew)
+      catalog.dropPartitions(OffsetTable, "batch_id",
+        StoreCompaction.gcStatePartition(wNew))
+      catalog.dropPartitions(MarkerTable, "batch_id",
+        StoreCompaction.gcMarkerPartition(wNew))
+    }
   }
 
   /** Pack one batch `(doc_id, tokens)` against the committed base and
@@ -80,16 +117,14 @@ object IncrementalPack {
       blockSize: Long = 10000,
       maxTopRows: Long = 4096
   ): Unit = {
-    val committed = catalog.listPartitionValues(MarkerTable, "batch_id")
-      .map(_.toLong)
-    if (committed.contains(batchId)) return
-    if (committed.nonEmpty) {
-      val maxCommitted = committed.max
-      require(batchId > maxCommitted,
-        s"out-of-order pack batch: batchId=$batchId but batch $maxCommitted " +
-          "already committed — committedBase takes the HIGHEST committed " +
-          "batch's total, so an out-of-order commit would corrupt every " +
-          "later batch's pack offsets")
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    if (view.contains(batchId)) return
+    if (!view.isEmpty) {
+      require(batchId > view.maxCommitted,
+        s"out-of-order pack batch: batchId=$batchId but batch " +
+          s"${view.maxCommitted} already committed — committedBase takes " +
+          "the HIGHEST committed batch's total, so an out-of-order commit " +
+          "would corrupt every later batch's pack offsets")
     }
     val spark = batch.sparkSession
     val base = committedBase(catalog)
@@ -101,7 +136,7 @@ object IncrementalPack {
       (statsRow.getLong(0),
         if (statsRow.isNullAt(1)) None else Some(statsRow.getLong(1)),
         if (statsRow.isNullAt(2)) None else Some(statsRow.getLong(2)))
-    for (lo <- minDoc; committedMax <- committedMaxDoc(catalog, committed.toSet))
+    for (lo <- minDoc; committedMax <- committedMaxDoc(catalog, view))
       require(lo > committedMax,
         s"pack batch $batchId overlaps committed doc-id range: its lowest " +
           s"doc_id $lo is not above the committed maximum $committedMax — " +

@@ -60,6 +60,39 @@ object IncrementalSubstringDedup {
   def committedBatches(catalog: graft.sink.TranscriptCatalog): Set[Long] =
     catalog.listPartitionValues(MarkerTable, "batch_id").map(_.toLong).toSet
 
+  /** Fold committed batches beyond the `keepRecent` newest into the
+    * watermark base partition — identical protocol and rationale as
+    * [[IncrementalLineDedup.compact]], over the gram-count store.
+    */
+  def compact(
+      catalog: graft.sink.TranscriptCatalog,
+      keepRecent: Int,
+      nBuckets: Int = 16
+  ): Unit = {
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    StoreCompaction.foldTarget(view, keepRecent).foreach { wNew =>
+      val foldIds = view.recent.filter(_ <= wNew)
+      val foldView = StoreCompaction.CommittedView(view.watermark, foldIds)
+      val basePart = StoreCompaction.basePartition(wNew)
+      val folded = countStore(catalog, nBuckets)
+        .filter(foldView.statePredicate(col("batch_id")))
+        .groupBy("gh").agg(sum("cnt").as("cnt"))
+        .withColumn("batch_id", lit(basePart))
+        .select("gh", "cnt", "batch_id")
+        .localCheckpoint()
+      catalog.dropBucketedPartition(CountsTable, "batch_id", basePart.toString)
+      catalog.appendBucketed(
+        folded, CountsTable, CountsBucketCols, nBuckets, CountsPartitionCols)
+      // COMMIT POINT.
+      StoreCompaction.writeWatermark(catalog, MarkerTable, wNew)
+      catalog.listPartitionValues(CountsTable, "batch_id")
+        .filter(StoreCompaction.gcStatePartition(wNew))
+        .foreach(v => catalog.dropBucketedPartition(CountsTable, "batch_id", v))
+      catalog.dropPartitions(MarkerTable, "batch_id",
+        StoreCompaction.gcMarkerPartition(wNew))
+    }
+  }
+
   /** Scrub one batch of docs against the committed gram history and
     * commit it. Replaying a committed batchId is a no-op; an
     * out-of-order batchId fails fast. The scrubbed rows land in
@@ -76,15 +109,14 @@ object IncrementalSubstringDedup {
       nBuckets: Int = 16,
       storePreGate: Boolean = true
   ): Unit = {
-    val committed = committedBatches(catalog)
-    if (committed.contains(batchId)) return
-    if (committed.nonEmpty) {
-      val maxCommitted = committed.max
-      require(batchId > maxCommitted,
+    val view = StoreCompaction.committedView(catalog, MarkerTable)
+    if (view.contains(batchId)) return
+    if (!view.isEmpty) {
+      require(batchId > view.maxCommitted,
         s"out-of-order substring-dedup batch: batchId=$batchId but batch " +
-          s"$maxCommitted already committed — historical totals assume " +
-          "ascending commits, and an out-of-order batch would strip " +
-          "against a history that already contains its future")
+          s"${view.maxCommitted} already committed — historical totals " +
+          "assume ascending commits, and an out-of-order batch would " +
+          "strip against a history that already contains its future")
     }
     val spark = batchDocs.sparkSession
     // One positioned-gram pass feeds the batch counts, the duplicated
@@ -95,9 +127,9 @@ object IncrementalSubstringDedup {
     // Historical totals for COMMITTED batches only; the store reads
     // bucketed by gh, so this aggregation never exchanges the store side.
     val store = countStore(catalog, nBuckets)
-    val histRows =
-      if (committed.isEmpty) store.filter(lit(false))
-      else store.filter(col("batch_id").isin(committed.toSeq: _*))
+    // Watermark-compacted committed predicate: base-partition equality
+    // plus a bounded isin (StoreCompaction), never an all-history In.
+    val histRows = store.filter(view.statePredicate(col("batch_id")))
     // Store-side Bloom pre-gate — same rationale as
     // [[IncrementalLineDedup.processBatch]]: history counts only matter
     // for grams present in THIS batch, so a sketch of the batch's
@@ -111,7 +143,7 @@ object IncrementalSubstringDedup {
     // left join below just finds no batch grams to match).
     val nBatchGrams = batchCounts.count()
     val histGated =
-      if (storePreGate && committed.nonEmpty && nBatchGrams > 0) {
+      if (storePreGate && !view.isEmpty && nBatchGrams > 0) {
         val sketch = batchCounts.stat.bloomFilter(
           "gh", math.max(nBatchGrams, 64L), 0.01)
         histRows.filter(
