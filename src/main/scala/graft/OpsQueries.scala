@@ -551,6 +551,33 @@ object OpsQueries {
       graft.ops.LineDedup.scrub(docs(s, dir), "text", maxOccurrences = 1)
     }),
 
+    // --- DD10b: line-unit PROVENANCE (round-7 verdict item #5) — the
+    //     audit trail behind DD10's strip, completing the provenance
+    //     symmetry dd_decontam_pairs/q_neardup_pairs give their families:
+    //     for every over-threshold unit, its total occurrence count, how
+    //     many docs carry it, and the top-5 contributing docs (most
+    //     occurrences first, ties → lowest doc_id). "Which banner is
+    //     this, and who ships it" is the first question an operator asks
+    //     when a strip looks wrong. Scale shape: the over-threshold set
+    //     is tiny (boilerplate) and the rank window runs AFTER the
+    //     semi-join against it, partitioned by the high-cardinality unit
+    //     hash — never a corpus-wide window. ---
+    "dd_line_provenance" -> ((s: SparkSession, dir: String) => {
+      val units = graft.ops.LineDedup.unitHashes(docs(s, dir), "text")
+      val perDoc = units.groupBy("lh", "doc_id")
+        .agg(count(lit(1)).as("occ"))
+      val tot = perDoc.groupBy("lh")
+        .agg(sum("occ").as("cnt"), count(lit(1)).as("n_docs"))
+        .filter(col("cnt") > 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lh").orderBy(col("occ").desc, col("doc_id").asc)
+      perDoc.join(tot, Seq("lh"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lh"), col("cnt"), col("n_docs"), col("rk"),
+          col("doc_id"), col("occ"))
+    }),
+
     // --- DD8c: decontamination PROVENANCE (round-5 verdict item #2) — the
     //     audit trail behind the DD8b boolean: one row per (training doc,
     //     eval doc) pair sharing at least one 8-gram, with the count of
@@ -625,6 +652,29 @@ object OpsQueries {
     //     no second corpus-wide shuffle. ---
     "dd_substring_scrub" -> ((s: SparkSession, dir: String) => {
       graft.ops.SubstringDedup.scrub(docs(s, dir), "text")
+    }),
+
+    // --- DD11d: substring-gram PROVENANCE (round-7 verdict item #5) —
+    //     the WHERE-from behind DD11's spans: for every duplicated
+    //     k-gram, its total occurrence count, carrier-doc count, and the
+    //     top-5 contributing docs with each doc's occurrence count and
+    //     first position. Same shape as dd_line_provenance (rank window
+    //     only after the duplicated-set semi-join, keyed on the
+    //     high-cardinality gram hash). ---
+    "dd_substring_provenance" -> ((s: SparkSession, dir: String) => {
+      val g = graft.ops.SubstringDedup.positionedGrams(docs(s, dir), "text")
+      val perDoc = g.groupBy("gh", "doc_id")
+        .agg(count(lit(1)).as("occ"), min("pos").as("first_pos"))
+      val tot = perDoc.groupBy("gh")
+        .agg(sum("occ").as("cnt"), count(lit(1)).as("n_docs"))
+        .filter(col("cnt") >= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("gh").orderBy(col("occ").desc, col("doc_id").asc)
+      perDoc.join(tot, Seq("gh"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("gh"), col("cnt"), col("n_docs"), col("rk"),
+          col("doc_id"), col("occ"), col("first_pos"))
     }),
 
     // --- DD11c: INCREMENTAL substring dedup (round 6) — scrub a NEW
@@ -1822,6 +1872,25 @@ object OpsQueries {
           |  coalesce(k.kept_line_count, 0) AS kept_line_count,
           |  coalesce(k.scrub_hash, md5('')) AS scrub_hash
           |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin.replace("\n", " "),
+      // Same unit chain as dd_line_dedup, then per-(unit, doc) counts,
+      // over-threshold totals, and the top-5 carrier rank.
+      "dd_line_provenance" ->
+        """WITH u0 AS (SELECT doc_id, string_split(lower(text), chr(10)) AS lines FROM documents),
+          |u1 AS (SELECT doc_id, flatten(list_transform(lines, l -> list_transform(
+          |    generate_series(1, greatest(1, CAST(ceil(len(string_split(l, ' ')) / 8.0) AS INT))),
+          |    u -> md5(array_to_string(string_split(l, ' ')[(u-1)*8+1 : (u-1)*8+8], ' '))))) AS lhs
+          |  FROM u0),
+          |units AS (SELECT doc_id, unnest(lhs) AS lh FROM u1),
+          |pd AS (SELECT lh, doc_id, count(*) AS occ FROM units GROUP BY 1, 2),
+          |tt AS (SELECT lh, sum(occ) AS cnt, count(*) AS n_docs FROM pd
+          |       GROUP BY lh HAVING sum(occ) > 1),
+          |rk AS (SELECT pd.lh, pd.doc_id, pd.occ,
+          |    row_number() OVER (PARTITION BY pd.lh ORDER BY pd.occ DESC, pd.doc_id ASC) AS rk
+          |  FROM pd JOIN tt USING (lh))
+          |SELECT r.lh, CAST(t.cnt AS BIGINT) AS cnt,
+          |  CAST(t.n_docs AS BIGINT) AS n_docs, CAST(r.rk AS INT) AS rk,
+          |  r.doc_id, CAST(r.occ AS BIGINT) AS occ
+          |FROM rk r JOIN tt t USING (lh) WHERE r.rk <= 5""".stripMargin.replace("\n", " "),
       "dd_decontam_pairs" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1872,6 +1941,27 @@ object OpsQueries {
           |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
           |  CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS span_tokens
           |FROM runs GROUP BY doc_id, run_id""".stripMargin.replace("\n", " "),
+      // Positioned-gram chain of dd_substring_spans, then per-(gram, doc)
+      // counts with first position, duplicated totals, top-5 carrier rank.
+      "dd_substring_provenance" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(generate_series(1, len(ws) - 7)) AS pos,
+          |    unnest(list_transform(generate_series(1, len(ws) - 7),
+          |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS gh
+          |  FROM w WHERE len(ws) >= 8),
+          |pd AS (SELECT gh, doc_id, count(*) AS occ, min(pos) AS first_pos
+          |       FROM g GROUP BY 1, 2),
+          |tt AS (SELECT gh, sum(occ) AS cnt, count(*) AS n_docs FROM pd
+          |       GROUP BY gh HAVING sum(occ) >= 2),
+          |rk AS (SELECT pd.gh, pd.doc_id, pd.occ, pd.first_pos,
+          |    row_number() OVER (PARTITION BY pd.gh ORDER BY pd.occ DESC, pd.doc_id ASC) AS rk
+          |  FROM pd JOIN tt USING (gh))
+          |SELECT r.gh, CAST(t.cnt AS BIGINT) AS cnt,
+          |  CAST(t.n_docs AS BIGINT) AS n_docs, CAST(r.rk AS INT) AS rk,
+          |  r.doc_id, CAST(r.occ AS BIGINT) AS occ,
+          |  CAST(r.first_pos AS INT) AS first_pos
+          |FROM rk r JOIN tt t USING (gh) WHERE r.rk <= 5""".stripMargin.replace("\n", " "),
       // Same span chain, then a correlated-anti position filter and an
       // ordered string_agg rebuild the scrubbed fingerprint.
       "dd_substring_scrub" ->

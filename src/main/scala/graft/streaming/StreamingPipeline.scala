@@ -403,17 +403,31 @@ object StreamingPipeline {
     * (graft.ops.Decontam) → cross-batch sequence packing
     * (graft.ops.IncrementalPack) → survivors appended to `docs_export`.
     *
+    * Two OPTIONAL stages (round-7 verdict item #6) complete the composed
+    * export with the remaining incremental stores:
+    *   - `semDedup`: semantic near-dup drop via
+    *     [[graft.ops.IncrementalSemDedup]] between the lexical near-dup
+    *     resolution and decontamination (the batch must carry an
+    *     `embedding` column; the IVF index must be published first);
+    *   - `capK`: per-source frequency cap via
+    *     [[graft.ops.IncrementalCap]] after decontamination, before
+    *     packing (the batch must carry a `source` column) — budgets are
+    *     enforced ACROSS micro-batches by the cap's count store.
+    *
     * Crash ordering (the marker is the commit point, as everywhere):
-    * docs_export → INCREMENTAL PACK (self-committing) → signatures →
-    * export marker. The pack MUST commit before the signature append: a
-    * replay that finds the batch's own signatures in the store keeps
-    * NOTHING, so any work the replay is still responsible for has to be
-    * idempotently committed before the signatures land — the pack via its
-    * own marker, the docs via batch_id-partitioned dynamic partition
-    * OVERWRITE (a pre-signature replay REPLACES the partition with the
-    * identical recomputed rows; a post-signature replay's empty kept set
-    * overwrites no partition at all). Every table is exactly-once
-    * (round-5 verdict item #1).
+    * [semantic store (self-committing)] → [cap store (self-committing)]
+    * → docs_export → INCREMENTAL PACK (self-committing) → signatures →
+    * export marker. Every self-committing sub-store MUST
+    * commit before the signature append: a replay that finds the batch's
+    * own signatures in the store keeps NOTHING, so any work the replay
+    * is still responsible for has to be idempotently committed before
+    * the signatures land — the sub-stores via their own markers (their
+    * replays are no-ops whose verdicts are re-READ, so the recomputed
+    * survivor set is identical), the docs via batch_id-partitioned
+    * dynamic partition OVERWRITE (a pre-signature replay REPLACES the
+    * partition with the identical recomputed rows; a post-signature
+    * replay's empty kept set overwrites no partition at all). Every
+    * table is exactly-once (round-5 verdict item #1).
     */
   def processExportBatch(
       batch: DataFrame, // streaming micro-batch (doc_id: long, text: string)
@@ -425,7 +439,10 @@ object StreamingPipeline {
       budget: Int = 512,
       packBlockSize: Long = 10000,
       storeBuckets: Int = 16,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      capK: Option[Int] = None,
+      semDedup: Boolean = false,
+      semMinCos: Double = 0.95
   ): Unit = {
     import graft.ops.{ConnectedComponents, Decontam, IncrementalDedup, IncrementalPack, MinHash}
     import graft.sink.TranscriptCatalog
@@ -461,7 +478,26 @@ object StreamingPipeline {
     val dropWithin = ConnectedComponents.resolve(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
-    val deduped = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
+    val lexDeduped = kept0.join(dropWithin, Seq("doc_id"), "left_anti")
+    // Optional SEMANTIC near-dup stage: the lexical survivors' embeddings
+    // run through the self-committing IncrementalSemDedup store (its
+    // replay is a no-op and the kept set is re-READ, so a crash replay of
+    // this batch reproduces the same survivors).
+    val deduped =
+      if (!semDedup) lexDeduped
+      else {
+        require(batch.columns.contains("embedding"),
+          "semDedup export stage needs an `embedding` column in the batch")
+        graft.ops.IncrementalSemDedup.processBatch(catalog,
+          batch.select(col("doc_id").as("vec_id"), col("embedding"))
+            .join(lexDeduped.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"),
+          batchId, semMinCos, storeBuckets)
+        val semKept = catalog.read(graft.ops.IncrementalSemDedup.KeptTable)
+          .filter(col("batch_id") === batchId)
+          .select(col("vec_id").as("doc_id"))
+        lexDeduped.join(semKept, Seq("doc_id"), "left_semi")
+      }
     // The gate runs Bloom-pre-gated (round-6): the persisted sketch is one
     // blob read per micro-batch (rebuilt only when the eval manifest
     // changes), and definite-miss grams never reach the exchange — the
@@ -470,9 +506,29 @@ object StreamingPipeline {
     val contaminated = Decontam.contaminatedIdsBloom(
       deduped, Decontam.evalGramStore(catalog, storeBuckets),
       Decontam.loadOrBuildGramBloom(catalog, storeBuckets))
-    val clean = graft.ops.Materialize.stable(
+    val clean0 = graft.ops.Materialize.stable(
       deduped.join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "text"), reliable = false)
+    // Optional PER-SOURCE CAP stage: survivors spend cross-batch budget
+    // in the self-committing IncrementalCap store; only its kept verdicts
+    // enter the release (budgets hold ACROSS micro-batches). Capped-out
+    // docs spend no budget and leave no signature — a later near-dup of
+    // one competes fresh, exactly like the batch form.
+    val clean = capK match {
+      case None => clean0
+      case Some(k) =>
+        require(batch.columns.contains("source"),
+          "capK export stage needs a `source` column in the batch")
+        graft.ops.IncrementalCap.processBatch(catalog,
+          batch.select("doc_id", "source")
+            .join(clean0.select("doc_id"), Seq("doc_id"), "left_semi"),
+          batchId, k)
+        val capKept = catalog.read(graft.ops.IncrementalCap.DocsTable)
+          .filter(col("batch_id") === batchId && col("kept"))
+          .select("doc_id")
+        graft.ops.Materialize.stable(
+          clean0.join(capKept, Seq("doc_id"), "left_semi"), reliable = false)
+    }
     catalog.overwritePartitions(
       clean.withColumn("batch_id", lit(batchId)), "docs_export", Seq("batch_id"))
     IncrementalPack.processBatch(catalog,
@@ -588,18 +644,25 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
-  /** `processExportBatch` as a foreachBatch stream sink. */
+  /** `processExportBatch` as a foreachBatch stream sink. `capK` /
+    * `semDedup` switch on the optional per-source cap and semantic-dedup
+    * stages (the stream must then carry `source` / `embedding` columns).
+    */
   def exportSink(
       docs: DataFrame,
       catalogRoot: String,
       checkpoint: String,
       budget: Int = 512,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      capK: Option[Int] = None,
+      semDedup: Boolean = false,
+      semMinCos: Double = 0.95
   ): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processExportBatch(batch, batchId, catalogRoot,
-          budget = budget, maxBucket = maxBucket)
+          budget = budget, maxBucket = maxBucket,
+          capK = capK, semDedup = semDedup, semMinCos = semMinCos)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

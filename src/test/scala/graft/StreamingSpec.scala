@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.model.Turn
@@ -350,6 +350,69 @@ class StreamingSpec extends SparkSpecBase {
     catalog.read("docs_export").count() shouldBe nDocs
     catalog.read("docs_export").select("doc_id").distinct().count() shouldBe nDocs
     catalog.read(IncrementalPack.PacksTable).count() shouldBe nPacks
+  }
+
+  test("streaming export sink: cap + semantic stages enforce budgets across micro-batches") {
+    import graft.ops.{Decontam, IncrementalCap, IncrementalSemDedup, Similarity}
+    import graft.sink.TranscriptCatalog
+    val out = tmpDir("stream-export-capsem")
+    val catalog = new TranscriptCatalog(out, spark)
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> "the secret eval answer is exactly forty two point five units")
+        .toDF("doc_id", "text"), nBuckets = 4)
+    // (doc_id, text, source, content_id, jit): embedding content is seeded
+    // by content_id (the IncrementalSemDedupSpec arithmetic), jit plants a
+    // cos≈1 near-copy instead of an exact one
+    def batchDf(rows: Seq[(Long, String, String, Long, Boolean)]) =
+      rows.toDF("doc_id", "text", "source", "content_id", "jit")
+        .withColumn("embedding", expr(
+          """transform(sequence(1, 64),
+            |  k -> (CAST(pmod(hash(content_id, k), 1000) AS FLOAT) / 500.0 - 1.0)
+            |       * CASE WHEN jit THEN 1.0001f ELSE 1.0f END
+            |       + CASE WHEN jit THEN 0.0003f ELSE 0.0f END)"""
+            .stripMargin.replace("\n", " ")))
+        .drop("content_id", "jit")
+    def words(p: String) = (1 to 60).map(i => s"$p$i").mkString(" ")
+    // fixed IVF index over the content space, published before the stream
+    IncrementalSemDedup.publishIndex(catalog,
+      Similarity.prepare(batchDf(Seq(
+        (1L, "seed", "s", 1L, false), (2L, "seed", "s", 2L, false),
+        (4L, "seed", "s", 4L, false), (10L, "seed", "s", 10L, false),
+        (11L, "seed", "s", 11L, false)))
+        .select(col("doc_id").as("vec_id"), col("embedding"))), nCells = 2)
+    val b0 = batchDf(Seq(
+      (1L, words("a"), "feedA", 1L, false),
+      (2L, words("b"), "feedA", 2L, false),
+      (4L, words("c"), "feedB", 4L, false)))
+    val b1 = batchDf(Seq(
+      // novel text+embedding, but feedA's k=2 budget is already spent
+      (10L, words("d"), "feedA", 10L, false),
+      // novel text+embedding, feedB has room -> kept
+      (11L, words("e"), "feedB", 11L, false),
+      // lexically novel but a cos~1 SEMANTIC copy of doc 4 -> dropped
+      (12L, words("f"), "feedB", 4L, true)))
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingPipeline.processExportBatch(b, id, out, budget = 64,
+        storeBuckets = 4, capK = Some(2), semDedup = true)
+    run(b0, 0L)
+    run(b1, 1L)
+    catalog.read("docs_export").select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 4L, 11L)
+    // the cap store shows doc 10's budget-denied verdict (cross-batch)
+    val capV = catalog.read(IncrementalCap.DocsTable)
+      .filter(col("batch_id") === 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    capV(10L) shouldBe false
+    capV(11L) shouldBe true
+    // the semantic store dropped doc 12 against doc 4's stored vector
+    catalog.read(IncrementalSemDedup.KeptTable)
+      .filter(col("batch_id") === 1L)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(10L, 11L)
+    // replay of the committed batch is a no-op on every table
+    val nDocs = catalog.read("docs_export").count()
+    run(b1, 1L)
+    catalog.read("docs_export").count() shouldBe nDocs
+    catalog.read("docs_export").select("doc_id").distinct().count() shouldBe nDocs
   }
 
   test("streaming windowed counts equal the batch rollup on identical data") {
