@@ -36,7 +36,13 @@ object LangId {
     "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por", "como", "pero"),
     "it" -> Seq("il", "di", "che", "non", "si", "sono", "della", "gli", "anche", "questo"),
     "pt" -> Seq("não", "uma", "para", "com", "mais", "você", "são", "dos", "isso", "muito"),
-    "nl" -> Seq("het", "een", "niet", "van", "voor", "maar", "zijn", "ook", "naar", "dan"))
+    "nl" -> Seq("het", "een", "niet", "van", "voor", "maar", "zijn", "ook", "naar", "dan"),
+    // round-7 tier (verdict item #7): three more Latin-script languages,
+    // words collision-checked against every earlier profile
+    "sv" -> Seq("och", "att", "det", "som", "på", "är", "jag", "har", "inte", "med"),
+    "pl" -> Seq("się", "nie", "jest", "jak", "ale", "czy", "tak", "już", "było", "przez"),
+    // ("dan" is Dutch-profiled, so Indonesian takes "pada" instead)
+    "id" -> Seq("yang", "pada", "ini", "itu", "dengan", "untuk", "tidak", "dari", "akan", "ada"))
 
   /** Number of profile hits in word-array column `wsCol` for `words`. */
   private def hits(wsCol: String, words: Seq[String]): Column =

@@ -45,6 +45,28 @@ class CorpusJobSpec extends SparkSpecBase {
     jobFunnel shouldBe oracleFunnel
   }
 
+  test("under --token-counter bpe the job's mix equals corpus_export_bpe") {
+    val out = tmpDir("corpusjob-bpe")
+    CorpusJob.run(spark, train, Some(eval), out,
+      catalogCfg.copy(tokenCounter = "bpe"))
+    val jobMix = new TranscriptCatalog(out, spark).read("release_docs")
+      .select(col("doc_id"), col("lang"), col("tokens").cast("long"))
+      .collect().map(_.toString).sorted
+    val oracleMix = OpsQueries.queries("corpus_export_bpe")(spark, dir)
+      .select(col("doc_id"), col("lang"), col("tokens").cast("long"))
+      .collect().map(_.toString).sorted
+    jobMix shouldBe oracleMix
+    jobMix.length should be > 0
+    // the BPE budget cut lands differently from the whitespace cut: the
+    // subword counter spends budget faster, so the mix is a different set
+    val outWs = tmpDir("corpusjob-ws-twin")
+    CorpusJob.run(spark, train, Some(eval), outWs, catalogCfg)
+    val wsMix = new TranscriptCatalog(outWs, spark).read("release_docs")
+      .select(col("doc_id"), col("lang"), col("tokens").cast("long"))
+      .collect().map(_.toString).sorted
+    jobMix should not equal wsMix
+  }
+
   test("without an eval set the decontamination stage passes everything through") {
     val out = tmpDir("corpusjob-noeval")
     val result = CorpusJob.run(spark, train, None, out, catalogCfg)

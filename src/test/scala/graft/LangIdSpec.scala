@@ -32,7 +32,13 @@ class LangIdSpec extends SparkSpecBase {
     "pt" -> "o gato está no jardim e os pássaros cantam uma canção para você com muito gosto",
     "pt" -> "os resultados dos estudos não são claros mas isso é algo que vemos com mais calma",
     "nl" -> "de kat zit in de tuin en het weer is niet slecht voor een spelletje met de bal",
-    "nl" -> "de resultaten van het onderzoek zijn ook naar de pers gegaan maar dan anders")
+    "nl" -> "de resultaten van het onderzoek zijn ook naar de pers gegaan maar dan anders",
+    "sv" -> "katten sitter i trädgården och jag har inte sett att det är så fint väder som idag",
+    "sv" -> "resultaten är klara och jag har inte läst det som står där men det är bra med mer",
+    "pl" -> "kot siedzi w ogrodzie ale nie wiem czy to jest tak jak było już wcześniej",
+    "pl" -> "wyniki badania są jasne ale czy to jest tak jak się wydaje przez cały czas",
+    "id" -> "kucing itu duduk di taman dan saya tidak tahu apakah ini akan menjadi hari yang baik",
+    "id" -> "hasil dari penelitian ini jelas dan akan ada banyak hal yang bisa dilakukan dengan itu")
 
   test("labeled accuracy is 100% on real sentences in every profiled language") {
     val preds = predict(labeled)
@@ -50,6 +56,14 @@ class LangIdSpec extends SparkSpecBase {
     predict(Seq("x" -> "the le")).head._2 shouldBe "en"
     predict(Seq("x" -> "le der")).head._2 shouldBe "fr"
     predict(Seq("x" -> "der el")).head._2 shouldBe "de"
+  }
+
+  test("profile words are collision-free across languages") {
+    // the discriminative-on-short-texts contract: each word belongs to
+    // exactly one language's profile
+    val all = LangId.profiles.flatMap(_._2)
+    all.distinct.size shouldBe all.size
+    LangId.profiles.size shouldBe 10
   }
 
   test("the Spark CASE chain and the DuckDB SQL mirror agree branch for branch") {
