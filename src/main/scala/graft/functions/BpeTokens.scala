@@ -16,9 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The tokenizer is fully specified so BOTH engines can run it exactly:
   *
-  *   1. normalize: strip '~' (the internal separator), lowercase,
+  *   1. normalize: strip '~' (the internal separator), ASCII-lowercase
+  *      (A-Z only — FULL Unicode lowering is engine-specific: Java maps
+  *      'İ' to TWO chars where utf8proc maps one, which would desync
+  *      the engines; merges are a-z anyway, so nothing is lost),
   *      collapse whitespace runs to one space, trim;
-  *   2. seed: each character is one token;
+  *   2. seed: each Unicode CODEPOINT is one token (not UTF-16 units —
+  *      an emoji is one token on both engines);
   *   3. for each merge (a, b) in rank order, replace adjacent token
   *      pairs (a, b) with the single token `ab` — left-to-right,
   *      non-overlapping, repeated until no pair of that rank remains
@@ -108,13 +112,26 @@ object BpeTokens {
 
   private val WsRun = java.util.regex.Pattern.compile("\\s+")
 
+  /** ASCII-only lowercasing (step 1) — `Character.toLowerCase`/`lower()`
+    * disagree across engines on special-cased codepoints, `translate`
+    * over A-Z cannot.
+    */
+  private def asciiLower(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Normalization (step 1), shared by both the fast path and the fold
     * reference so they cannot drift.
     */
   def normalize(text: String): String =
-    WsRun.matcher(
-      text.replace(Sep, "").toLowerCase(java.util.Locale.ROOT))
-      .replaceAll(" ").trim
+    WsRun.matcher(asciiLower(text.replace(Sep, ""))).replaceAll(" ").trim
 
   // Words repeat heavily in natural text; a bounded cache makes the
   // per-word merge loop amortized O(1) for the frequent head. Cleared

@@ -442,9 +442,14 @@ object StreamingPipeline {
       maxBucket: Option[Int] = None,
       capK: Option[Int] = None,
       semDedup: Boolean = false,
-      semMinCos: Double = 0.95
+      semMinCos: Double = 0.95,
+      // "whitespace" (default) | "bpe" — the CorpusJob counter choice,
+      // applied to the pack stage's token counts (tokenizer-true packs).
+      tokenCounter: String = "whitespace"
   ): Unit = {
     import graft.ops.{ConnectedComponents, Decontam, IncrementalDedup, IncrementalPack, MinHash}
+    require(tokenCounter == "whitespace" || tokenCounter == "bpe",
+      s"unknown token counter '$tokenCounter' (whitespace | bpe)")
     import graft.sink.TranscriptCatalog
     val spark = batch.sparkSession
     val catalog = new TranscriptCatalog(catalogRoot, spark)
@@ -531,9 +536,12 @@ object StreamingPipeline {
     }
     catalog.overwritePartitions(
       clean.withColumn("batch_id", lit(batchId)), "docs_export", Seq("batch_id"))
+    val tokensCol =
+      if (tokenCounter == "bpe")
+        graft.functions.BpeTokens.bpeTokenCount(col("text"))
+      else size(split(lower(col("text")), " "))
     IncrementalPack.processBatch(catalog,
-      clean.select(col("doc_id"),
-        size(split(lower(col("text")), " ")).as("tokens")),
+      clean.select(col("doc_id"), tokensCol.as("tokens")),
       batchId, budget, packBlockSize)
     val keptSigs = keptSigs0
       .join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -656,13 +664,15 @@ object StreamingPipeline {
       maxBucket: Option[Int] = None,
       capK: Option[Int] = None,
       semDedup: Boolean = false,
-      semMinCos: Double = 0.95
+      semMinCos: Double = 0.95,
+      tokenCounter: String = "whitespace"
   ): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processExportBatch(batch, batchId, catalogRoot,
           budget = budget, maxBucket = maxBucket,
-          capK = capK, semDedup = semDedup, semMinCos = semMinCos)
+          capK = capK, semDedup = semDedup, semMinCos = semMinCos,
+          tokenCounter = tokenCounter)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -352,6 +352,35 @@ class StreamingSpec extends SparkSpecBase {
     catalog.read(IncrementalPack.PacksTable).count() shouldBe nPacks
   }
 
+  test("streaming export packs under the BPE counter equal one whole-corpus BPE pack run") {
+    import graft.functions.BpeTokens
+    import graft.ops.{Decontam, IncrementalPack, SequencePack}
+    import graft.sink.TranscriptCatalog
+    val out = tmpDir("stream-export-bpe")
+    val catalog = new TranscriptCatalog(out, spark)
+    Decontam.publishEvalSet(catalog,
+      Seq(900L -> "the secret eval answer is exactly forty two point five units")
+        .toDF("doc_id", "text"), nBuckets = 4)
+    val textX = (1 to 60).map(i => s"x$i").mkString(" ")
+    val textY = (1 to 60).map(i => s"y$i").mkString(" ")
+    StreamingPipeline.processExportBatch(Seq(1L -> textX).toDF("doc_id", "text"),
+      0L, out, budget = 64, storeBuckets = 4, tokenCounter = "bpe")
+    StreamingPipeline.processExportBatch(Seq(11L -> textY).toDF("doc_id", "text"),
+      1L, out, budget = 64, storeBuckets = 4, tokenCounter = "bpe")
+    val expected = SequencePack.pack(
+        Seq(1L -> textX, 11L -> textY).toDF("doc_id", "text")
+          .select(col("doc_id"), BpeTokens.bpeTokenCount(col("text")).as("tokens")),
+        "doc_id", "tokens", budget = 64, blockSize = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val packRows = catalog.read(IncrementalPack.PacksTable)
+      .select("doc_id", "pack_id", "pack_pos")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    packRows shouldBe expected
+    // and the BPE counts genuinely differ from whitespace (the counter
+    // actually reached the pack stage)
+    BpeTokens.countTokens(textX) should not be 60
+  }
+
   test("streaming export sink: cap + semantic stages enforce budgets across micro-batches") {
     import graft.ops.{Decontam, IncrementalCap, IncrementalSemDedup, Similarity}
     import graft.sink.TranscriptCatalog
