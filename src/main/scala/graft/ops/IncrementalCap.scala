@@ -138,6 +138,10 @@ object IncrementalCap {
       blockSize: Long = 1L << 40,
       maxTopRows: Long = 4096
   ): Unit = {
+    // Negative ids would collide with the watermark/base-partition
+    // encoding and batchId <= the empty-store watermark (-1) silently
+    // no-ops (round-7 advice) -- fail fast instead.
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val view = StoreCompaction.committedView(catalog, MarkerTable)
     if (view.contains(batchId)) return
     if (!view.isEmpty) {

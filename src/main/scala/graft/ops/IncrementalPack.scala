@@ -76,11 +76,19 @@ object IncrementalPack {
     StoreCompaction.foldTarget(view, keepRecent).foreach { wNew =>
       val foldIds = view.recent.filter(_ <= wNew)
       val foldView = StoreCompaction.CommittedView(view.watermark, foldIds)
-      val rows = catalog.read(OffsetTable)
+      val offsets = catalog.read(OffsetTable)
+      // Mirror committedMaxDoc's schema guard (round-7 advice): an offsets
+      // table written before the max_doc column existed must FOLD (with
+      // the never-wins sentinel), not throw AnalysisException on a column
+      // the read path itself already degrades gracefully without.
+      val maxDocCol =
+        if (offsets.columns.contains("max_doc")) col("max_doc")
+        else lit(null).cast("bigint")
+      val rows = offsets
         .filter(foldView.statePredicate(col("batch_id")))
         .agg(
           max(struct(col("batch_id"), col("base"), col("total_after"))).as("m"),
-          max(col("max_doc")).as("max_doc"))
+          max(maxDocCol).as("max_doc"))
         .select(col("m.base").as("base"), col("m.total_after").as("total_after"),
           coalesce(col("max_doc"), lit(Long.MinValue)).as("max_doc"))
         .withColumn("batch_id", lit(StoreCompaction.basePartition(wNew)))
@@ -117,6 +125,10 @@ object IncrementalPack {
       blockSize: Long = 10000,
       maxTopRows: Long = 4096
   ): Unit = {
+    // Negative ids would collide with the watermark/base-partition
+    // encoding and batchId <= the empty-store watermark (-1) silently
+    // no-ops (round-7 advice) -- fail fast instead.
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val view = StoreCompaction.committedView(catalog, MarkerTable)
     if (view.contains(batchId)) return
     if (!view.isEmpty) {

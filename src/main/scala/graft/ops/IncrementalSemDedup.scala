@@ -80,6 +80,34 @@ object IncrementalSemDedup {
     * store and itself, and commit the survivors. Replaying a committed
     * batchId is a no-op.
     */
+  /** Committed-batch view: watermark blob + marker partitions above it
+    * (the [[StoreCompaction]] protocol — the replay guard stays ONE
+    * bounded filesystem listing whatever the store's age).
+    */
+  def committedBatches(
+      catalog: graft.sink.TranscriptCatalog
+  ): StoreCompaction.CommittedView =
+    StoreCompaction.committedView(catalog, MarkerTable)
+
+  /** Fold committed batch MARKERS beyond the `keepRecent` newest into the
+    * watermark (round-7 verdict item #2). This store's state fold is a
+    * NO-OP by design: the bucketed kept-vector store has no per-batch
+    * partitions (batch attribution lives only in `emb_kept`, which is
+    * read by batch-id EQUALITY for the in-flight batch, never via a
+    * growing isin), so the linearly growing thing here was the marker
+    * LISTING — the watermark bounds it. `emb_kept` partitions of folded
+    * batches stay intact (they are the durable per-batch output).
+    */
+  def compact(catalog: graft.sink.TranscriptCatalog, keepRecent: Int): Unit = {
+    val view = committedBatches(catalog)
+    StoreCompaction.foldTarget(view, keepRecent).foreach { wNew =>
+      // COMMIT POINT — markers at or below the watermark become implicit.
+      StoreCompaction.writeWatermark(catalog, MarkerTable, wNew)
+      catalog.dropPartitions(MarkerTable, "batch_id",
+        StoreCompaction.gcMarkerPartition(wNew))
+    }
+  }
+
   def processBatch(
       catalog: graft.sink.TranscriptCatalog,
       batch: DataFrame,
@@ -87,9 +115,11 @@ object IncrementalSemDedup {
       minCos: Double = 0.95,
       storeBuckets: Int = 16
   ): Unit = {
+    // Negative ids would collide with the watermark/base-partition
+    // encoding (round-7 advice) — fail fast instead of silently no-op'ing.
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val spark = batch.sparkSession
-    if (catalog.listPartitionValues(MarkerTable, "batch_id")
-          .contains(batchId.toString)) return
+    if (committedBatches(catalog).contains(batchId)) return
     val cents = index(catalog)
     val assigned = Similarity.assignCellBroadcast(
         Similarity.prepare(batch), cents)

@@ -63,14 +63,20 @@ object SequencePack {
     // Recursion bound = the largest per-key block count (a global count
     // would let one huge key hide behind many small ones). nTotal drives
     // the broadcast decision — per-key bounds don't cap the key count.
-    val nTotal = totals.count()
-    // An empty input (e.g. an empty streaming micro-batch) must take the
-    // window path with maxPerKey = 0: the keyed max probe below returns a
-    // NULL aggregate on zero groups and getLong would NPE.
-    val maxPerKey =
-      if (keyCols.isEmpty || nTotal == 0) nTotal
-      else totals.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-        .agg(max("__n")).head.getLong(0)
+    // Both probes ride ONE action over the materialized totals (round-8:
+    // the separate count + keyed-max pair cost two driver jobs per
+    // recursion level; sum-of-per-key-counts IS the total row count).
+    // An empty input (e.g. an empty streaming micro-batch) must yield
+    // maxPerKey = 0: the aggregate over zero groups returns NULL sums and
+    // getLong would NPE, hence the isNullAt guard.
+    val (nTotal, maxPerKey) =
+      if (keyCols.isEmpty) { val n = totals.count(); (n, n) }
+      else {
+        val r = totals.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .agg(sum("__n"), max("__n")).head
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
     val (offsets, smallTop) =
       if (maxPerKey <= maxTopRows) {
         // Bounded by construction: each task's window sees at most

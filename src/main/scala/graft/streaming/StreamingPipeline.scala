@@ -188,6 +188,38 @@ object StreamingPipeline {
     */
   val StoreFormatMarker: String = "signatures__format_v2"
 
+  /** The neardup sink's commit-marker table (one partition per committed
+    * batch id; the watermark blob folds old ones — see
+    * [[compactNeardupMarkers]]).
+    */
+  val NeardupMarkerTable: String = "batches"
+
+  /** Fold committed neardup batch MARKERS beyond the `keepRecent` newest
+    * into the watermark (round-7 verdict item #2, the signature-store
+    * half). The state fold is a NO-OP by design: signature rows carry
+    * batch_id as a DATA column inside the bucketed store (no per-batch
+    * partitions, no isin predicate over committed ids — the per-batch
+    * read filters only `batch_id =!= currentBatch`, which folded rows
+    * still satisfy), so the linearly growing thing was the marker
+    * LISTING per micro-batch — the watermark bounds it. `docs_kept`
+    * partitions stay intact (durable per-batch output).
+    */
+  def compactNeardupMarkers(
+      spark: SparkSession,
+      catalogRoot: String,
+      keepRecent: Int
+  ): Unit = {
+    import graft.ops.StoreCompaction
+    val catalog = new graft.sink.TranscriptCatalog(catalogRoot, spark)
+    val view = StoreCompaction.committedView(catalog, NeardupMarkerTable)
+    StoreCompaction.foldTarget(view, keepRecent).foreach { wNew =>
+      // COMMIT POINT — markers at or below the watermark become implicit.
+      StoreCompaction.writeWatermark(catalog, NeardupMarkerTable, wNew)
+      catalog.dropPartitions(NeardupMarkerTable, "batch_id",
+        StoreCompaction.gcMarkerPartition(wNew))
+    }
+  }
+
   /** One-time migration of a store written by the pre-round-4 sink
     * (plain un-bucketed signature files; committed batch ids as marker
     * ROWS inside the store): rewrites the signature files into the
@@ -296,11 +328,16 @@ object StreamingPipeline {
   ): Unit = {
     import graft.ops.{ConnectedComponents, IncrementalDedup, MinHash}
     import graft.sink.TranscriptCatalog
+    // Negative ids would collide with the watermark/base-partition
+    // encoding (round-7 advice) — fail fast instead of silently no-op'ing.
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val spark = batch.sparkSession
     val catalog = new TranscriptCatalog(catalogRoot, spark)
     migrateLegacyNeardupStore(spark, catalogRoot, storeBuckets)
-    if (catalog.listPartitionValues("batches", "batch_id")
-          .contains(batchId.toString)) return
+    // Watermark-folded replay guard (round-7 verdict item #2): one blob
+    // read + a BOUNDED marker listing, whatever the store's age.
+    if (graft.ops.StoreCompaction.committedView(catalog, NeardupMarkerTable)
+          .contains(batchId)) return
     // shingles is column-preserving, so text rides along for the kept sink
     val tok = IncrementalDedup.shingles(batch, "text")
     // The store join EXCLUDES this batch's own id: a crash between a

@@ -222,4 +222,141 @@ class StoreCompactionSpec extends SparkSpecBase {
     }
     ex.getMessage should include("overlaps committed doc-id range")
   }
+
+  test("pack: compact folds a legacy offsets table without max_doc") {
+    // offsets rows written before the max_doc column existed (round-7
+    // advice): compact must fold with the never-wins sentinel, exactly
+    // like the committedMaxDoc read path degrades
+    val catalog = new TranscriptCatalog(tmpDir("pack-legacy"), spark)
+    catalog.overwritePartitions(
+      Seq((0L, 0L, 70L), (1L, 70L, 120L), (2L, 120L, 145L))
+        .toDF("batch_id", "base", "total_after"),
+      IncrementalPack.OffsetTable, Seq("batch_id"))
+    Seq(0L, 1L, 2L).foreach { b =>
+      catalog.append(Seq((b, 1)).toDF("batch_id", "one"),
+        IncrementalPack.MarkerTable, Seq("batch_id"))
+    }
+    IncrementalPack.compact(catalog, keepRecent = 1)
+    IncrementalPack.committedBase(catalog) shouldBe 145L
+    StoreCompaction.readWatermark(catalog, IncrementalPack.MarkerTable) shouldBe 1L
+  }
+
+  // --- IncrementalSemDedup (round-7 verdict item #2: marker fold) ---
+
+  private def semVectors(idBase: Long, n: Int, contentBase: Long = -1,
+      jitter: Boolean = false) = {
+    val cb = if (contentBase >= 0) contentBase else idBase
+    val j = if (jitter) " * 1.0001f + 0.0003f" else ""
+    spark.range(0, n.toLong, 1, 4).toDF("i")
+      .select((col("i") + idBase).as("vec_id"), expr(
+        s"""transform(sequence(1, 64),
+           |  k -> (CAST(pmod(hash(i + ${cb}L, k), 1000) AS FLOAT) / 500.0 - 1.0)$j)"""
+          .stripMargin.replace("\n", " ")).as("embedding"))
+  }
+
+  private def semKept(catalog: TranscriptCatalog): Seq[Long] =
+    catalog.read(graft.ops.IncrementalSemDedup.KeptTable)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def runSem(name: String, compactAfterB2: Boolean) = {
+    import graft.ops.{IncrementalSemDedup, Similarity}
+    val catalog = new TranscriptCatalog(tmpDir(name), spark)
+    val b0 = semVectors(0, 12)
+    IncrementalSemDedup.publishIndex(catalog, Similarity.prepare(b0), nCells = 4)
+    IncrementalSemDedup.processBatch(catalog, b0, 0L, storeBuckets = 4)
+    IncrementalSemDedup.processBatch(catalog, semVectors(100, 6), 1L, storeBuckets = 4)
+    IncrementalSemDedup.processBatch(catalog, semVectors(200, 6), 2L, storeBuckets = 4)
+    if (compactAfterB2) IncrementalSemDedup.compact(catalog, keepRecent = 1)
+    // batch 3: copies of batch-0 content (dropped against FOLDED-marker
+    // history) + novel vectors (kept)
+    IncrementalSemDedup.processBatch(catalog,
+      semVectors(300, 6, contentBase = 0, jitter = true)
+        .unionByName(semVectors(400, 6)), 3L, storeBuckets = 4)
+    (catalog, semKept(catalog))
+  }
+
+  test("semdedup: kept sets are identical before/after marker compaction; listing bounded") {
+    import graft.ops.IncrementalSemDedup
+    val (_, plain) = runSem("sem-plain", compactAfterB2 = false)
+    val (catalog, compacted) = runSem("sem-compact", compactAfterB2 = true)
+    compacted shouldBe plain
+    // batch-3 copies of folded-batch content still dropped via the store
+    compacted.filter(id => id >= 300 && id < 400) shouldBe empty
+    compacted.filter(_ >= 400).size shouldBe 6
+    // marker listing is BOUNDED: folded markers gone, watermark carries them
+    catalog.listPartitionValues(IncrementalSemDedup.MarkerTable, "batch_id")
+      .map(_.toLong).toSet shouldBe Set(2L, 3L)
+    StoreCompaction.readWatermark(catalog, IncrementalSemDedup.MarkerTable) shouldBe 1L
+    // kept partitions of folded batches stay intact (durable output)
+    catalog.listPartitionValues(IncrementalSemDedup.KeptTable, "batch_id")
+      .map(_.toLong).toSet shouldBe Set(0L, 1L, 2L, 3L)
+    // replaying a FOLDED batch id is a committed no-op
+    val nKept = catalog.read(IncrementalSemDedup.KeptTable).count()
+    IncrementalSemDedup.processBatch(catalog, semVectors(500, 3), 0L, storeBuckets = 4)
+    catalog.read(IncrementalSemDedup.KeptTable).count() shouldBe nKept
+    // compact with room to spare: a no-op
+    IncrementalSemDedup.compact(catalog, keepRecent = 3)
+    StoreCompaction.readWatermark(catalog, IncrementalSemDedup.MarkerTable) shouldBe 1L
+  }
+
+  // --- streaming neardup signature store (the marker half) ---
+
+  private def runNeardup(name: String, compactAfterB2: Boolean) = {
+    import graft.streaming.StreamingPipeline
+    val root = tmpDir(name)
+    val catalog = new TranscriptCatalog(root, spark)
+    def doc(id: Long, text: String) = Seq((id, text)).toDF("doc_id", "text")
+    val t0 = "alpha beta gamma delta epsilon"
+    StreamingPipeline.processNeardupBatch(doc(1, t0), 0L, root, bands = 2, rows = 1)
+    StreamingPipeline.processNeardupBatch(
+      doc(2, "zeta eta theta iota kappa"), 1L, root, bands = 2, rows = 1)
+    StreamingPipeline.processNeardupBatch(
+      doc(3, "lambda mu nu xi omicron"), 2L, root, bands = 2, rows = 1)
+    if (compactAfterB2)
+      StreamingPipeline.compactNeardupMarkers(spark, root, keepRecent = 1)
+    // batch 3: a near-dup of FOLDED-batch-0 content (dropped via the
+    // store, which the marker fold must not touch) + a novel doc (kept)
+    StreamingPipeline.processNeardupBatch(
+      doc(4, t0).unionByName(doc(5, "pi rho sigma tau upsilon")),
+      3L, root, bands = 2, rows = 1)
+    val kept = catalog.read("docs_kept").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    (catalog, kept)
+  }
+
+  test("neardup markers: kept docs identical before/after compaction; listing bounded") {
+    import graft.streaming.StreamingPipeline
+    val (_, plain) = runNeardup("nd-plain", compactAfterB2 = false)
+    val (catalog, compacted) = runNeardup("nd-compact", compactAfterB2 = true)
+    compacted shouldBe plain
+    compacted should contain(5L)
+    compacted should not contain 4L // dropped against folded-marker history
+    catalog.listPartitionValues(StreamingPipeline.NeardupMarkerTable, "batch_id")
+      .map(_.toLong).toSet shouldBe Set(2L, 3L)
+    StoreCompaction.readWatermark(
+      catalog, StreamingPipeline.NeardupMarkerTable) shouldBe 1L
+    // replaying a FOLDED batch id is a committed no-op
+    val nKept = catalog.read("docs_kept").count()
+    StreamingPipeline.processNeardupBatch(
+      Seq((9L, "brand new text here")).toDF("doc_id", "text"),
+      0L, catalog.root, bands = 2, rows = 1)
+    catalog.read("docs_kept").count() shouldBe nKept
+  }
+
+  test("negative batch ids fail fast in every store (watermark encoding)") {
+    val catalog = new TranscriptCatalog(tmpDir("neg-ids"), spark)
+    intercept[IllegalArgumentException] {
+      IncrementalCap.processBatch(catalog, capDocs(Seq(1L -> "A")), -1L, 4)
+    }.getMessage should include(">= 0")
+    intercept[IllegalArgumentException] {
+      IncrementalLineDedup.processBatch(catalog, lineDocs(Seq(1L -> "x")), -1L)
+    }.getMessage should include(">= 0")
+    intercept[IllegalArgumentException] {
+      IncrementalPack.processBatch(catalog, packDocs(Seq(1L -> 10L)), -2L, budget = 100)
+    }.getMessage should include(">= 0")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingPipeline.processNeardupBatch(
+        Seq((1L, "t")).toDF("doc_id", "text"), -1L, tmpDir("neg-nd"), 2, 1)
+    }.getMessage should include(">= 0")
+  }
 }
