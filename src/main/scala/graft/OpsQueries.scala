@@ -120,8 +120,11 @@ object OpsQueries {
       val meta = docs(k._1, k._2).withColumn("quality", qualityCol)
         .filter(col("quality") >= 0.4)
         .select(col("doc_id"), md5(col("text")).as("h"))
-      val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
+      // Materialized for the same three-consumer reason as corpusKeepIds:
+      // a lazy exactKeep re-runs the quality+hash text pass per consumer.
+      val exactKeep = Materialize.stable(
+        meta.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id"),
+        reliable = false)
       val pairs = pairsWithin(docPairs(k._1, k._2), exactKeep)
       val comps = graft.ops.ConnectedComponents.resolve(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
@@ -158,41 +161,52 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ExportStages]
   private def exportStages(s: SparkSession, dir: String): ExportStages = {
     exportCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    exportCache.computeIfAbsent((s, dir), k =>
-      buildExportStages(k._1, k._2) match {
-        case ExportStages(tr, q, ek, kept, clean, mixed) => ExportStages(
-          tr.localCheckpoint(), q.localCheckpoint(), ek.localCheckpoint(),
-          kept.localCheckpoint(), clean.localCheckpoint(),
-          mixed.localCheckpoint())
-      })
+    exportCache.computeIfAbsent((s, dir), k => buildExportStages(k._1, k._2))
   }
 
+  // Every stage is checkpointed AS IT IS BUILT (round-8), so each
+  // downstream stage's plan references the materialized upstream frame.
+  // The previous shape built all six stages lazily and checkpointed them
+  // afterwards — but a checkpoint does not rewrite frames that captured
+  // the LAZY reference, so `clean` re-embedded kept's whole join chain
+  // and `mixed` re-embedded both, re-running the exact-dedup text pass
+  // several times inside one job (Spark does not dedupe common subtrees).
   private def buildExportStages(s: SparkSession, dir: String): ExportStages = {
     val d = docs(s, dir)
     val train = d.filter(col("doc_id") < 450)
-    val meta = train.withColumn("quality", qualityCol)
-      .filter(col("quality") >= 0.4)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val kept = corpusKeepIds(meta, docShingles(s, dir),
-      pairsAll = Some(docPairs(s, dir)))
+    val meta = Materialize.stable(
+      train.withColumn("quality", qualityCol)
+        .filter(col("quality") >= 0.4)
+        .select(col("doc_id"), md5(col("text")).as("h")),
+      reliable = false)
+    val exactKeep = Materialize.stable(
+      meta.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id"),
+      reliable = false)
+    val kept = Materialize.stable(
+      corpusKeepIds(meta, docShingles(s, dir),
+        pairsAll = Some(docPairs(s, dir))),
+      reliable = false)
     val contaminated = gramHashes(train)
       .join(kept, Seq("doc_id"), "left_semi")
       .join(evalGrams(s, dir), Seq("gh"), "left_semi")
       .select("doc_id").distinct()
-    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = Materialize.stable(
+      kept.join(contaminated, Seq("doc_id"), "left_anti"),
+      reliable = false)
     val budget = when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
     val toks = d.select(col("doc_id"), col("lang"),
         size(split(lower(col("text")), " ")).as("tokens"))
       .join(clean, Seq("doc_id"), "left_semi")
-    val mixed = graft.ops.SequencePack.exclusivePrefixSum(toks,
-        "doc_id", "tokens", "lang_cum",
-        blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
-      .filter(col("lang_cum") < budget)
-      .select("doc_id", "lang", "tokens")
-    ExportStages(train.select("doc_id"), meta.select("doc_id"), exactKeep,
-      kept, clean, mixed)
+    val mixed = Materialize.stable(
+      graft.ops.SequencePack.exclusivePrefixSum(toks,
+          "doc_id", "tokens", "lang_cum",
+          blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
+        .filter(col("lang_cum") < budget)
+        .select("doc_id", "lang", "tokens"),
+      reliable = false)
+    ExportStages(
+      Materialize.stable(train.select("doc_id"), reliable = false),
+      meta.select("doc_id"), exactKeep, kept, clean, mixed)
   }
 
   private def exportMixed(s: SparkSession, dir: String): DataFrame =
@@ -323,8 +337,15 @@ object OpsQueries {
     import graft.ops.ConnectedComponents
     require(pairsAll.isEmpty || maxBucket.isEmpty,
       "a capped run must re-band its own subset (the subset identity only holds uncapped)")
-    val exactKeep = meta.groupBy("h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // Materialized (round-8): the exact-dedup survivor set feeds THREE
+    // consumers (both endpoint semi-joins of the pair subset and the
+    // cluster left join), and Spark does not dedupe common subtrees — a
+    // lazy frame re-ran the meta chain (a quality+hash text pass in every
+    // caller) once per consumer, in one job.
+    val exactKeep = Materialize.stable(
+      meta.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id"),
+      reliable = false)
     val pairs = pairsAll match {
       case Some(p) => pairsWithin(p, exactKeep)
       case None => MinHash.candidatePairs(
@@ -1095,12 +1116,18 @@ object OpsQueries {
         batchToks, "doc_id", "toks", MinhashBands, MinhashRows)
       val crossDups = IncrementalDedup.duplicateIds(batchSigs, store, "doc_id")
         .localCheckpoint() // small id set, consumed by two downstream joins
-      val kept0 = batchToks.join(crossDups, Seq("doc_id"), "left_anti")
-      val withinPairs = pairsWithin(docPairs(s, dir), kept0.select("doc_id"))
+      // Materialize the survivor ID SET once (round-8): the lazy frame
+      // fed three consumers (both endpoint semi-joins of the pair subset
+      // and the final keep join), each re-evaluating the batch-exact +
+      // anti-join chain. Only ids are ever needed downstream.
+      val kept0 = Materialize.stable(
+        batchToks.select("doc_id").join(crossDups, Seq("doc_id"), "left_anti"),
+        reliable = false)
+      val withinPairs = pairsWithin(docPairs(s, dir), kept0)
       val withinDrop = ConnectedComponents.resolve(withinPairs, "id_a", "id_b")
         .filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"))
-      val keptIds = kept0.select("doc_id")
+      val keptIds = kept0
         .join(withinDrop, Seq("doc_id"), "left_anti")
         .withColumn("__kept", lit(true))
       val res = batch.select("doc_id")

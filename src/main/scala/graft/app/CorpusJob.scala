@@ -191,7 +191,11 @@ object CorpusJob {
       maxTopRows = cfg.maxTopRows)
 
     // The datacard funnel, from the SAME frames the export just ran.
+    // Materialized (round-8): six stat() rows each join this frame, and a
+    // lazy toksAll re-ran the token-counting text pass per stage row; the
+    // frame is ids+counts narrow, so pinning it is corpus-size-safe.
     val toksAll = train.select(col("doc_id"), tokenCol(cfg).as("tokens"))
+      .localCheckpoint()
     def stat(ord: Int, name: String, ids: DataFrame): DataFrame =
       ids.select("doc_id").join(toksAll, Seq("doc_id"))
         .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))

@@ -68,6 +68,15 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
 
+    // One min-label propagation step, composed LAZILY (no action):
+    // label'(v) = min over {v} ∪ N(v) of current labels.
+    def propagate(cur: DataFrame): DataFrame =
+      edges
+        .join(cur.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(cur)
+        .groupBy("id").agg(min("label").as("label"))
+
     // One propagate + pointer-doubling round, composed LAZILY (no action).
     // Pointer doubling: label(v) ← label(label(v)). Every label value is
     // itself a vertex id present in `propagated` (labels are mins over
@@ -75,11 +84,7 @@ object ConnectedComponents {
     // + coalesce is only null-insurance. Labels only decrease, so the
     // hop can never regress.
     def round(cur: DataFrame): DataFrame = {
-      val propagated = edges
-        .join(cur.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("label"))
-        .unionByName(cur)
-        .groupBy("id").agg(min("label").as("label"))
+      val propagated = propagate(cur)
       val hop = propagated
         .select(col("id").as("__l"), col("label").as("label2"))
       propagated
@@ -91,8 +96,26 @@ object ConnectedComponents {
     // this doubles as the emptiness check so no separate isEmpty job runs.
     var prevSum = labelSum(labels)
     if (prevSum == null) { edges.unpersist(); return labels }
+
+    // Cheap fixpoint probe FIRST (round-8): one propagate-only step, no
+    // hop — about half the exchanges of a full round and a quarter of the
+    // fused double round. Sound as a convergence certificate: at a
+    // fixpoint of `propagate`, label(v) ≤ label(u) across every edge in
+    // BOTH directions (edges are symmetrized), so labels are constant per
+    // component, and since each component's min vertex has label ≤ its own
+    // id while labels never leave the component's id set, that constant is
+    // the component min — i.e. fully resolved. Near-dup candidate graphs
+    // are clique-like and `labels` already folds propagation round 1, so
+    // MOST resolves confirm the fixpoint here at the probe's cost; deeper
+    // graphs carry the probe's progress into the doubled rounds below.
     var converged = false
     var it = 0
+    val probe = Materialize.stable(propagate(labels), reliable)
+    val probeSum = labelSum(probe)
+    converged = probeSum.compareTo(prevSum) == 0
+    prevSum = probeSum
+    labels = probe
+    it += 1
     while (!converged && it < maxIters) {
       // TWO rounds per materialization + convergence probe (round-3 verdict
       // item #6): at small scale each probe costs fixed driver/scheduling
