@@ -59,7 +59,10 @@ object ConnectedComponents {
     // Init folds propagation round 1 in: label(v) = min({v} ∪ N(v)) comes
     // straight off the edge list with one groupBy — one fewer loop round
     // (each round is a fixed per-round scheduling cost at small scale).
-    var labels = Materialize.stable(
+    // stableLazy: every materialization below is immediately probed by
+    // labelSum, so the checkpoint rides the probe's job (round-8 — one
+    // driver action per round instead of two).
+    var labels = Materialize.stableLazy(
       edges.groupBy("src")
         .agg(least(col("src"), min(col("dst"))).as("label"))
         .withColumnRenamed("src", "id"),
@@ -110,7 +113,7 @@ object ConnectedComponents {
     // graphs carry the probe's progress into the doubled rounds below.
     var converged = false
     var it = 0
-    val probe = Materialize.stable(propagate(labels), reliable)
+    val probe = Materialize.stableLazy(propagate(labels), reliable)
     val probeSum = labelSum(probe)
     converged = probeSum.compareTo(prevSum) == 0
     prevSum = probeSum
@@ -123,7 +126,7 @@ object ConnectedComponents {
       // non-increasing, so an unchanged sum across a fused double-round
       // still proves the fixpoint exactly. Worst case one extra no-op round
       // of joins; halves the materializations + driver aggregates.
-      val next = Materialize.stable(round(round(labels)), reliable)
+      val next = Materialize.stableLazy(round(round(labels)), reliable)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

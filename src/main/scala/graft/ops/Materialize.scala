@@ -31,4 +31,21 @@ object Materialize {
           "(durable shared storage on a cluster)")
       df.checkpoint()
     } else df.localCheckpoint()
+
+  /** LAZY variant (round-8): the checkpoint materializes with the FIRST
+    * action over the returned frame instead of running its own job. Use
+    * when the very next statement probes the frame anyway (the iterative
+    * operators' materialize-then-aggregate pairs) — the probe and the
+    * checkpoint then share ONE job, halving the driver actions per
+    * round. NOT for frames whose sources are deleted before the first
+    * action (compaction folds need `stable`'s eagerness).
+    */
+  def stableLazy(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable materialization needs sparkContext.setCheckpointDir " +
+          "(durable shared storage on a cluster)")
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
 }

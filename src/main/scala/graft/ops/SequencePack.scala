@@ -55,8 +55,9 @@ object SequencePack {
     // lose exactness through a double.
     val withBlock = df.withColumn(blk, expr(s"`$idCol` div $blockSize"))
     // Materialized so the row count probes and the offsets join below all
-    // read stored rows instead of re-running the aggregation.
-    val totals = Materialize.stable(
+    // read stored rows instead of re-running the aggregation. Lazy: the
+    // probe right below is the first action and carries the checkpoint.
+    val totals = Materialize.stableLazy(
       withBlock.groupBy((keyCols :+ blk).map(col): _*)
         .agg(sum(col(valueCol)).cast("bigint").as(tot)),
       reliable)
