@@ -343,6 +343,142 @@ class StoreCompactionSpec extends SparkSpecBase {
     catalog.read("docs_kept").count() shouldBe nKept
   }
 
+  // --- round-7 verdict item #5: compaction crash windows interleaved
+  //     with the LIVE streaming export (cap + semantic stages enabled).
+  //     The protocol's crash story (StoreCompaction scaladoc steps 1-3)
+  //     was argued in comments; this makes it a test: a kill between the
+  //     watermark COMMIT and the GC sweep (and one before the commit)
+  //     while batches keep arriving must change no verdict, no budget,
+  //     no exported doc vs a twin that never compacts at all. ---
+
+  private def exportDocs(rows: Seq[(Long, String, String, Long, Boolean)]) =
+    rows.toDF("doc_id", "text", "source", "content_id", "jit")
+      .withColumn("embedding", expr(
+        """transform(sequence(1, 64),
+          |  k -> (CAST(pmod(hash(content_id, k), 1000) AS FLOAT) / 500.0 - 1.0)
+          |       * CASE WHEN jit THEN 1.0001f ELSE 1.0f END
+          |       + CASE WHEN jit THEN 0.0003f ELSE 0.0f END)"""
+          .stripMargin.replace("\n", " ")))
+      .drop("content_id", "jit")
+
+  private def exportWords(p: String) = (1 to 60).map(i => s"$p$i").mkString(" ")
+
+  private def runExportStream(name: String, crashingCompactions: Boolean) = {
+    import graft.ops.{IncrementalCap, IncrementalSemDedup, Similarity}
+    import graft.streaming.StreamingPipeline
+    val root = tmpDir(name)
+    val catalog = new TranscriptCatalog(root, spark)
+    IncrementalSemDedup.publishIndex(catalog,
+      Similarity.prepare(exportDocs(Seq(
+        (1L, "seed", "s", 1L, false), (2L, "seed", "s", 2L, false),
+        (11L, "seed", "s", 11L, false), (40L, "seed", "s", 40L, false)))
+        .select(col("doc_id").as("vec_id"), col("embedding"))), nCells = 2)
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingPipeline.processExportBatch(b, id, root, budget = 64,
+        storeBuckets = 4, capK = Some(2), semDedup = true)
+    run(exportDocs(Seq((1L, exportWords("a"), "feedA", 1L, false),
+      (2L, exportWords("b"), "feedA", 2L, false))), 0L)
+    run(exportDocs(Seq((10L, exportWords("c"), "feedA", 10L, false),
+      (11L, exportWords("d"), "feedB", 11L, false))), 1L)
+    if (crashingCompactions) {
+      // CRASH WINDOW 1 — cap compaction dies BEFORE the watermark commit:
+      // the fold's base partition is written, the watermark is not. The
+      // un-committed base id is deselected by every read (basePartition of
+      // a watermark nobody committed); the resumed compact recomputes the
+      // identical fold and commits.
+      val view = StoreCompaction.committedView(catalog, IncrementalCap.MarkerTable)
+      StoreCompaction.foldTarget(view, 1).foreach { wNew =>
+        val foldIds = view.recent.filter(_ <= wNew)
+        val folded = catalog.read(IncrementalCap.CountsTable)
+          .filter(StoreCompaction.CommittedView(view.watermark, foldIds)
+            .statePredicate(col("batch_id")))
+          .groupBy("source").agg(sum("kept_docs").as("kept_docs"))
+          .withColumn("batch_id", lit(StoreCompaction.basePartition(wNew)))
+          .select("source", "kept_docs", "batch_id")
+        catalog.overwritePartitions(folded, IncrementalCap.CountsTable, Seq("batch_id"))
+        // crash here: no watermark write, no GC
+      }
+      IncrementalCap.compact(catalog, keepRecent = 1) // resume
+    }
+    run(exportDocs(Seq((20L, exportWords("e"), "feedB", 20L, false))), 2L)
+    if (crashingCompactions) {
+      // CRASH WINDOW 2 — cap AND semdedup compactions die AFTER the
+      // watermark commit, BEFORE the GC sweep: folded count partitions
+      // and subsumed markers linger; predicates no longer select them
+      // and the next fold sweeps them.
+      val view = StoreCompaction.committedView(catalog, IncrementalCap.MarkerTable)
+      StoreCompaction.foldTarget(view, 1).foreach { wNew =>
+        val foldIds = view.recent.filter(_ <= wNew)
+        val folded = catalog.read(IncrementalCap.CountsTable)
+          .filter(StoreCompaction.CommittedView(view.watermark, foldIds)
+            .statePredicate(col("batch_id")))
+          .groupBy("source").agg(sum("kept_docs").as("kept_docs"))
+          .withColumn("batch_id", lit(StoreCompaction.basePartition(wNew)))
+          .select("source", "kept_docs", "batch_id")
+        catalog.overwritePartitions(folded, IncrementalCap.CountsTable, Seq("batch_id"))
+        StoreCompaction.writeWatermark(catalog, IncrementalCap.MarkerTable, wNew)
+        // crash here: no GC of counts or markers
+      }
+      val semView = StoreCompaction.committedView(catalog, IncrementalSemDedup.MarkerTable)
+      StoreCompaction.foldTarget(semView, 1).foreach { wNew =>
+        StoreCompaction.writeWatermark(catalog, IncrementalSemDedup.MarkerTable, wNew)
+        // crash here: subsumed sem markers linger
+      }
+    }
+    // mid-stream continues over both crash remnants: a semantic copy of
+    // stored doc 11 (dropped via the store), a denied feedA doc (budget
+    // spent in FOLDED batches), a fresh feedC pair with a within-batch
+    // semantic copy
+    run(exportDocs(Seq((30L, exportWords("f"), "feedA", 30L, false),
+      (31L, exportWords("g"), "feedB", 11L, true))), 3L)
+    run(exportDocs(Seq((40L, exportWords("h"), "feedC", 40L, false),
+      (41L, exportWords("i"), "feedC", 40L, true))), 4L)
+    if (crashingCompactions) {
+      // resume: the next real compactions fold again and sweep the garbage
+      IncrementalCap.compact(catalog, keepRecent = 1)
+      IncrementalSemDedup.compact(catalog, keepRecent = 1)
+    }
+    val exported = catalog.read("docs_export").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val capV = catalog.read(IncrementalCap.DocsTable)
+      .select("doc_id", "source", "keep_rank", "kept")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val semKeptIds = catalog.read(graft.ops.IncrementalSemDedup.KeptTable)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val packBase = graft.ops.IncrementalPack.committedBase(catalog)
+    (catalog, exported, capV, semKeptIds, packBase)
+  }
+
+  test("export stream: compaction crash windows change no verdict, budget or export") {
+    import graft.ops.IncrementalCap
+    val (_, exported0, cap0, sem0, pack0) =
+      runExportStream("exp-plain", crashingCompactions = false)
+    val (catalog, exported1, cap1, sem1, pack1) =
+      runExportStream("exp-crash", crashingCompactions = true)
+    exported1 shouldBe exported0
+    cap1 shouldBe cap0
+    sem1 shouldBe sem0
+    pack1 shouldBe pack0
+    // sanity on the scenario itself: budgets held across the folds
+    // (feedA spent in folded batches 0-1 still denies doc 30) and the
+    // semantic copies dropped (31 vs stored 11, 41 vs in-batch 40)
+    cap0(30L)._3 shouldBe false
+    exported0 should not contain 31L
+    exported0 should contain(40L)
+    exported0 should not contain 41L
+    // the resumed compaction swept the crash remnants: counts partitions
+    // are base + recents only, no stale bases, markers bounded
+    val w = StoreCompaction.readWatermark(catalog, IncrementalCap.MarkerTable)
+    val parts = catalog.listPartitionValues(IncrementalCap.CountsTable, "batch_id")
+      .map(_.toLong)
+    parts.count(_ < -1) shouldBe 1 // exactly one live base partition
+    parts.filter(_ >= 0).foreach(_ should be > w)
+    catalog.listPartitionValues(IncrementalCap.MarkerTable, "batch_id")
+      .map(_.toLong).foreach(_ should be > w)
+  }
+
   test("negative batch ids fail fast in every store (watermark encoding)") {
     val catalog = new TranscriptCatalog(tmpDir("neg-ids"), spark)
     intercept[IllegalArgumentException] {
