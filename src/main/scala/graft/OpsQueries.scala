@@ -375,9 +375,12 @@ object OpsQueries {
     }
   }
 
-  /** dot(a, b) for double arrays via sequential fold (deterministic order). */
+  /** dot(a, b) for double arrays — the codegen'd exact sequential fold
+    * (graft.functions.DotExact; bit-identical to the aggregate/zip_with
+    * form it replaces, round-8).
+    */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    graft.functions.DotExact.dotExact(col(a), col(b))
 
   /** (doc_id, gh) — distinct md5 hashes of each doc's 8-grams (THE one
     * tokenizer convention for the containment-decontamination family,

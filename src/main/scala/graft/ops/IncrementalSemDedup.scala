@@ -44,8 +44,10 @@ object IncrementalSemDedup {
     "cell INT, vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE"
   val StoreBucketCols: Seq[String] = Seq("cell")
 
+  // Codegen'd exact dot — bit-identical to the aggregate(zip_with(...))
+  // fold it replaces (graft.functions.DotExact, round-8).
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    graft.functions.DotExact.dotExact(col(a), col(b))
 
   /** Build and commit the shared IVF index from a reference vector sample
     * (`e` = a `Similarity.prepare`d frame). One-time setup; overwrite

@@ -26,8 +26,11 @@ object Similarity {
     def dim: Int = centroids.head._2.length
   }
 
+  // Codegen'd exact dot (round-8): bit-identical to the previous
+  // aggregate(zip_with(...)) fold — see graft.functions.DotExact — but
+  // inside the whole-stage span instead of an interpreted HOF lambda.
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    graft.functions.DotExact.dotExact(col(a), col(b))
 
   /** Decimal places every Lloyd-refined centroid component is rounded to —
     * in BOTH builds (driver model, DataFrame table) and in the DuckDB
@@ -50,10 +53,7 @@ object Similarity {
     * nodes instead of ~1000 (optimizer time dominated the query otherwise).
     */
   private def dotLit(v: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(c.toSeq), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.DotExact.dotExact(v, typedLit(c.toSeq))
 
   /** Deterministic synthetic vector set for specs and plan dumps (pure
     * hash arithmetic over spark.range — no RNG), already `prepare`d.
@@ -201,12 +201,15 @@ object Similarity {
     * broadcast row a reference (the array is not copied per row).
     */
   def assignCellBroadcast(e: DataFrame, cents: DataFrame): DataFrame = {
+    // dot_exact: the codegen'd exact fold (graft.functions.DotExact),
+    // registered per session so the transform lambda can call it —
+    // bit-identical to the aggregate(zip_with(...)) form it replaces.
+    graft.functions.DotExact.register(e.sparkSession)
     val centsRow = cents.agg(collect_list(struct(col("cell"), col("cv"))).as("__cents"))
     e.crossJoin(broadcast(centsRow))
       .withColumn("cell", expr(
         """CAST(-(array_max(transform(__cents, c -> struct(
-          |aggregate(zip_with(v, c.cv, (x, y) -> x * y),
-          |          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d,
+          |dot_exact(v, c.cv) AS d,
           |-c.cell AS negk))).negk) AS INT)""".stripMargin.replace("\n", " ")))
       .drop("__cents")
   }
@@ -354,12 +357,12 @@ object Similarity {
     // Probe list per query: sort the per-cell dots ascending by negated
     // dot (ties to the smaller cell id — same order ivfTopK uses), keep
     // the first nprobe cells.
+    graft.functions.DotExact.register(e.sparkSession)
     val qprobes = queries.crossJoin(broadcast(centsRow))
       .select(col("qid"), col("qv"), col("qn"),
         expr(
           s"""transform(slice(array_sort(transform(__cents, c -> struct(
-             |-aggregate(zip_with(qv, c.cv, (x, y) -> x * y),
-             |           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS negd,
+             |-dot_exact(qv, c.cv) AS negd,
              |c.cell AS cell))), 1, $nprobe), s -> s.cell)""".stripMargin
             .replace("\n", " ")).as("probes"))
     val qprobesStable = Materialize.stable(qprobes, reliable)
