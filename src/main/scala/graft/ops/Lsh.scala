@@ -42,12 +42,12 @@ object Lsh {
     * float-for-float.
     */
   def signedDot(v: Column, mask: Int, dim: Int = DefaultDim): Column =
-    aggregate(
-      // typedLit: the sign row is ONE Literal plan node (array(lit...) would
-      // add dim nodes per mask and blow up optimizer time at high bit counts)
-      zip_with(v, typedLit(signs(mask, dim).toSeq), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    // typedLit: the sign row is ONE Literal plan node (array(lit...) would
+    // add dim nodes per mask and blow up optimizer time at high bit counts).
+    // dot_exact (round-8): the codegen'd exact fold — bit-identical to the
+    // aggregate(zip_with(...)) form it replaces, but inside the codegen
+    // span instead of nBands·rBits interpreted lambdas per row.
+    graft.functions.DotExact.dotExact(v, typedLit(signs(mask, dim).toSeq))
 
   /** `bits`-bit sign bucket of `v` (single band). */
   def bucket(v: Column, bits: Int, dim: Int = DefaultDim): Column =
