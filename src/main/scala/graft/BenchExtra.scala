@@ -27,6 +27,63 @@ object BenchExtra {
     import graft.ops.{ConnectedComponents, IncrementalDedup}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+    // --- corpus_build FIRST-TOUCH, phase by phase (mode=corpus_build):
+    //     what the alphabetically-first corpus query pays to build every
+    //     session memo the rest of the catalog then reuses ---
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("corpus_build")) {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
+      var dm: DataFrame = null
+      phase("docMeta pass (qual+md5+scrub+tok)") {
+        dm = docs.select(
+          col("doc_id"), col("lang"),
+          graft.parse.QualityScore.scoreCol("text").as("quality"),
+          md5(col("text")).as("h"),
+          md5(scrubbed).as("scrub_hash"),
+          size(split(lower(col("text")), " ")).as("tokens"))
+          .localCheckpoint()
+      }
+      var tok: DataFrame = null
+      phase("docShingles pass + checkpoint") {
+        tok = IncrementalDedup.shingles(docs, "text").select("doc_id", "toks")
+          .localCheckpoint()
+      }
+      var pairs: DataFrame = null
+      phase("docPairs band + materialize") {
+        pairs = graft.ops.MinHash.candidatePairs(tok, "doc_id", "toks", 2, 1)
+      }
+      var qc: DataFrame = null
+      phase("qualityClustered (subset CC)") {
+        val meta = dm.filter(col("quality") >= 0.4).select("doc_id", "h")
+        val exactKeep = graft.ops.Materialize.stable(
+          meta.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id"),
+          reliable = false)
+        val p = pairs
+          .join(exactKeep.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(exactKeep.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        val comps = ConnectedComponents.resolve(p, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        qc = exactKeep.join(comps, Seq("doc_id"), "left").localCheckpoint()
+      }
+      phase("corpus_build tail (join+ckpt)") {
+        val meta = dm.filter(col("quality") >= 0.4)
+          .select("doc_id", "quality", "scrub_hash")
+        val kept = qc
+          .filter(col("label").isNull || col("label") === col("doc_id"))
+          .select("doc_id")
+        meta.join(kept, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("scrub_hash"),
+            round(col("quality"), 4).as("quality"))
+          .localCheckpoint()
+      }
+      val tq0 = System.nanoTime()
+      SparkEntry.queries("corpus_build")(spark, sfDir).count()
+      println(f"PHASE catalog corpus_build (memos warm) ${(System.nanoTime() - tq0) / 1e9}%8.3f s")
+      spark.stop()
+      return
+    }
+
     // --- q_corpus_incremental, phase by phase (fresh session state) ---
     val q = docs.withColumn("quality", graft.parse.QualityScore.scoreCol("text"))
       .filter(col("quality") >= 0.4)

@@ -103,6 +103,46 @@ object OpsQueries {
       graft.ops.ConnectedComponents.resolve(docPairs(k._1, k._2), "id_a", "id_b"))
   }
 
+  /** The email/number scrub used by corpus_build's released text hash —
+    * one definition so the memoized meta pass below and any future
+    * caller can never drift.
+    */
+  private def scrubbedCol: Column = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
+  }
+
+  /** (doc_id, lang, quality, h, scrub_hash, tokens) — every text-derived
+    * SCALAR the corpus/mixing chains consume, computed in ONE memoized
+    * pass over the documents table (round-8, guide §1.2/§2.4: remove
+    * whole passes before tuning anything inside one). Before this memo a
+    * full-catalog session decoded and re-processed the text column seven
+    * times for the identical expressions: the quality gate + content
+    * hash in qualityClustered, corpus_build, corpus_build_qrep and
+    * q_corpus_incremental, the quality argmax frame in dd_cluster_rep,
+    * and the whitespace token counts in the export head, corpus_stats
+    * and the four tx pack/mix queries. All columns are the SAME
+    * deterministic expressions those call sites inlined (qualityCol,
+    * md5(text), md5(scrubbed), size(split(lower(text)))), so reading
+    * them from the checkpointed frame cannot change any result — the
+    * full oracle pass re-verified after the change. Narrow rows (ids +
+    * five scalars); the wide text column never outlives the single pass.
+    */
+  private val docMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def docMeta(spark: SparkSession, dir: String): DataFrame = {
+    docMetaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    docMetaCache.computeIfAbsent((spark, dir), k =>
+      docs(k._1, k._2).select(
+        col("doc_id"), col("lang"),
+        qualityCol.as("quality"),
+        md5(col("text")).as("h"),
+        md5(scrubbedCol).as("scrub_hash"),
+        size(split(lower(col("text")), " ")).as("tokens"))
+      .localCheckpoint())
+  }
+
   /** (doc_id, label) — the exact-dedup survivors of the full-corpus
     * quality gate (score ≥ 0.4, min doc per content hash) left-joined to
     * their near-dup CC labels, memoized per (session, dir) (round-8):
@@ -117,11 +157,11 @@ object OpsQueries {
   private def qualityClustered(s: SparkSession, dir: String): DataFrame = {
     qualityClusteredCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     qualityClusteredCache.computeIfAbsent((s, dir), k => {
-      val meta = docs(k._1, k._2).withColumn("quality", qualityCol)
-        .filter(col("quality") >= 0.4)
-        .select(col("doc_id"), md5(col("text")).as("h"))
+      val meta = docMeta(k._1, k._2).filter(col("quality") >= 0.4)
+        .select(col("doc_id"), col("h"))
       // Materialized for the same three-consumer reason as corpusKeepIds:
-      // a lazy exactKeep re-runs the quality+hash text pass per consumer.
+      // a lazy exactKeep re-runs the (memoized, but still scanned) meta
+      // chain per consumer.
       val exactKeep = Materialize.stable(
         meta.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id"),
         reliable = false)
@@ -172,12 +212,14 @@ object OpsQueries {
   // and `mixed` re-embedded both, re-running the exact-dedup text pass
   // several times inside one job (Spark does not dedupe common subtrees).
   private def buildExportStages(s: SparkSession, dir: String): ExportStages = {
-    val d = docs(s, dir)
-    val train = d.filter(col("doc_id") < 450)
+    // Text-derived scalars come from the session's single memoized text
+    // pass (docMeta); the only raw-text reads left in the chain are the
+    // n-gram pass (gramHashes — positional 8-grams, not a scalar) on the
+    // train split.
+    val train = docMeta(s, dir).filter(col("doc_id") < 450)
     val meta = Materialize.stable(
-      train.withColumn("quality", qualityCol)
-        .filter(col("quality") >= 0.4)
-        .select(col("doc_id"), md5(col("text")).as("h")),
+      train.filter(col("quality") >= 0.4)
+        .select(col("doc_id"), col("h")),
       reliable = false)
     val exactKeep = Materialize.stable(
       meta.groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id"),
@@ -186,7 +228,7 @@ object OpsQueries {
       corpusKeepIds(meta, docShingles(s, dir),
         pairsAll = Some(docPairs(s, dir))),
       reliable = false)
-    val contaminated = gramHashes(train)
+    val contaminated = gramHashes(docs(s, dir).filter(col("doc_id") < 450))
       .join(kept, Seq("doc_id"), "left_semi")
       .join(evalGrams(s, dir), Seq("gh"), "left_semi")
       .select("doc_id").distinct()
@@ -194,8 +236,7 @@ object OpsQueries {
       kept.join(contaminated, Seq("doc_id"), "left_anti"),
       reliable = false)
     val budget = when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
-    val toks = d.select(col("doc_id"), col("lang"),
-        size(split(lower(col("text")), " ")).as("tokens"))
+    val toks = docMeta(s, dir).select("doc_id", "lang", "tokens")
       .join(clean, Seq("doc_id"), "left_semi")
     val mixed = Materialize.stable(
       graft.ops.SequencePack.exclusivePrefixSum(toks,
@@ -470,7 +511,7 @@ object OpsQueries {
       // Shared memoized label table (see docComps) — the argmax policy is
       // the only work this query adds over dd_cluster_resolve.
       val comps = docComps(s, dir).withColumnRenamed("id", "doc_id")
-      val d = docs(s, dir).select(col("doc_id"), qualityCol.as("quality"))
+      val d = docMeta(s, dir).select(col("doc_id"), col("quality"))
         .join(comps, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("label"), col("doc_id")))
       val best = d.groupBy("cluster")
@@ -1024,21 +1065,15 @@ object OpsQueries {
     //     ConnectedComponents, tx_scrub's redaction), and the whole chain
     //     is one DuckDB oracle incl. the recursive-CTE clustering. ---
     "corpus_build" -> ((s: SparkSession, dir: String) => {
-      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-      val scrubbed = regexp_replace(
-        regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
-      // ONE pass over text derives the narrow meta (quality, content
-      // hash, scrub hash) — the wide text column is never cached or
-      // re-shuffled; at corpus scale, caching text-bearing rows is the
-      // shape that dies first. Shingles come from the session-memoized
-      // docShingles frame (the same tokenization every dd_* operator
-      // uses); the exact-dedup → cluster-resolution keep-set is the
-      // shared corpusKeepIds chain.
-      val meta = docs(s, dir).withColumn("quality", qualityCol)
-        .filter(col("quality") >= 0.4)
-        .select(col("doc_id"), col("quality"),
-          md5(col("text")).as("h"), md5(scrubbed).as("scrub_hash"))
-        .persist()
+      // The narrow meta (quality, content hash, scrub hash) comes from
+      // the session's ONE memoized text pass (docMeta) — the wide text
+      // column is never cached or re-shuffled; at corpus scale, caching
+      // text-bearing rows is the shape that dies first. Shingles come
+      // from the session-memoized docShingles frame (the same
+      // tokenization every dd_* operator uses); the exact-dedup →
+      // cluster-resolution keep-set is the shared corpusKeepIds chain.
+      val meta = docMeta(s, dir).filter(col("quality") >= 0.4)
+        .select("doc_id", "quality", "scrub_hash")
       // The quality gate → exact dedup → subset-CC chain is the
       // session-memoized qualityClustered frame (corpus_build_qrep runs
       // the identical chain under the other representative policy); the
@@ -1047,12 +1082,10 @@ object OpsQueries {
       val kept = qualityClustered(s, dir)
         .filter(col("label").isNull || col("label") === col("doc_id"))
         .select("doc_id")
-      val res = meta.join(kept, Seq("doc_id"), "left_semi")
+      meta.join(kept, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("scrub_hash"),
           round(col("quality"), 4).as("quality"))
         .localCheckpoint()
-      meta.unpersist()
-      res
     }),
 
     // --- CORPUS1b: corpus_build under the QUALITY representative policy
@@ -1063,24 +1096,20 @@ object OpsQueries {
     //     through the shared corpusKeepIds composition (and through
     //     CorpusJob's --rep-policy flag on the spark-submit surface). ---
     "corpus_build_qrep" -> ((s: SparkSession, dir: String) => {
-      val q = docs(s, dir).withColumn("quality", qualityCol)
-        .filter(col("quality") >= 0.4)
-        .select(col("doc_id"), col("quality"), md5(col("text")).as("h"))
-        .persist()
+      val q = docMeta(s, dir).filter(col("quality") >= 0.4)
+        .select("doc_id", "quality")
       // Shared memoized chain head (see qualityClustered); the quality
       // argmax below is corpusKeepIds' quality policy applied to it.
       val kept = qualityClustered(s, dir)
         .withColumn("cluster", coalesce(col("label"), col("doc_id")))
-        .join(q.select("doc_id", "quality"), Seq("doc_id"))
+        .join(q, Seq("doc_id"))
         .groupBy("cluster")
         .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"),
           col("doc_id").as("rid"))).as("m"))
         .select(col("m.rid").as("doc_id"))
-      val res = q.join(kept, Seq("doc_id"), "left_semi")
+      q.join(kept, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), round(col("quality"), 4).as("quality"))
         .localCheckpoint()
-      q.unpersist()
-      res
     }),
 
     // --- CORPUS2: the INCREMENTAL corpus build — the daily-batch form of
@@ -1096,11 +1125,8 @@ object OpsQueries {
     //     batch doc with its keep/drop verdict. ---
     "q_corpus_incremental" -> ((s: SparkSession, dir: String) => {
       import graft.ops.{ConnectedComponents, IncrementalDedup}
-      val q = docs(s, dir).withColumn("quality", qualityCol)
-        .filter(col("quality") >= 0.4)
-        .withColumn("h", md5(col("text")))
+      val q = docMeta(s, dir).filter(col("quality") >= 0.4)
         .select("doc_id", "h")
-        .persist()
       val tok = docShingles(s, dir)
       // History side: the full corpus keep pipeline on doc_id < 250
       // (shared corpusKeepIds chain) → survivors' signatures = the store.
@@ -1137,7 +1163,6 @@ object OpsQueries {
         .join(keptIds, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("__kept"), lit(false)).as("is_kept"))
         .localCheckpoint()
-      q.unpersist()
       res
     }),
 
@@ -1207,8 +1232,7 @@ object OpsQueries {
     //     a partial-aggregated count/sum. ---
     "corpus_stats" -> ((s: SparkSession, dir: String) => {
       val st = exportStages(s, dir)
-      val toksAll = docs(s, dir).select(col("doc_id"),
-        size(split(lower(col("text")), " ")).as("tokens"))
+      val toksAll = docMeta(s, dir).select("doc_id", "tokens")
       def stat(ord: Int, name: String, ids: DataFrame): DataFrame =
         ids.select("doc_id").join(toksAll, Seq("doc_id"))
           .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
@@ -1526,8 +1550,7 @@ object OpsQueries {
     //     rows. blockSize/maxTopRows here force the recursion THROUGH the
     //     oracle gate: 500 docs / 25 = 20 blocks > 8 = two levels. ---
     "tx_pack" -> ((s: SparkSession, dir: String) => {
-      val toks = docs(s, dir).select(col("doc_id"),
-        size(split(lower(col("text")), " ")).as("tokens"))
+      val toks = docMeta(s, dir).select("doc_id", "tokens")
       graft.ops.SequencePack.pack(toks, "doc_id", "tokens",
         budget = 512, blockSize = 25, maxTopRows = 8)
     }),
@@ -1539,8 +1562,7 @@ object OpsQueries {
     //     SequencePackSpec asserts the every-pack-sums-to-budget property;
     //     the DuckDB oracle mirrors the segment arithmetic exactly. ---
     "tx_pack_split" -> ((s: SparkSession, dir: String) => {
-      val toks = docs(s, dir).select(col("doc_id"),
-        size(split(lower(col("text")), " ")).as("tokens"))
+      val toks = docMeta(s, dir).select("doc_id", "tokens")
       graft.ops.SequencePack.packSplit(toks, "doc_id", "tokens",
         budget = 512, blockSize = 25, maxTopRows = 8)
     }),
@@ -1580,8 +1602,7 @@ object OpsQueries {
     //     levels at the oracle gate (blockSize 25 / maxTopRows 8). ---
     "tx_mix_budget" -> ((s: SparkSession, dir: String) => {
       val budget = when(col("lang") === "en", lit(6000L)).otherwise(lit(2000L))
-      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
-        size(split(lower(col("text")), " ")).as("tokens"))
+      val toks = docMeta(s, dir).select("doc_id", "lang", "tokens")
       graft.ops.SequencePack.exclusivePrefixSum(toks, "doc_id", "tokens",
           "lang_cum", blockSize = 25, maxTopRows = 8, keyCols = Seq("lang"))
         .filter(col("lang_cum") < budget)
@@ -1602,8 +1623,7 @@ object OpsQueries {
     //     single-row broadcast; the per-doc pass reuses the keyed
     //     hierarchical prefix sum. ---
     "tx_mix_temperature" -> ((s: SparkSession, dir: String) => {
-      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
-        size(split(lower(col("text")), " ")).as("tokens"))
+      val toks = docMeta(s, dir).select("doc_id", "lang", "tokens")
       val wts = toks.groupBy("lang").agg(sum("tokens").as("tot"))
         .withColumn("sqi", floor(sqrt(col("tot").cast("double")) * 1000).cast("long"))
       val budgets = wts
