@@ -78,8 +78,21 @@ object QualityScore {
   def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000.0
   def round4SqlDuck(e: String): String = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
 
-  /** Mean hashed-bucket weight of `textCol`'s words (the `lex` feature). */
+  /** Mean hashed-bucket weight of `textCol`'s words (the `lex` feature).
+    * The weight sum is the codegen'd graft.functions.LexSum expression —
+    * bit-identical to the aggregate(transform(...)) HOF fold it replaced
+    * (round-8; LexSumSpec gates the equivalence, [[lexColHof]] keeps the
+    * reference form).
+    */
   def lexCol(textCol: String = "text"): Column = {
+    val ws = split(lower(col(textCol)), " ")
+    graft.functions.LexSum.lexSum(ws) / size(ws).cast("double")
+  }
+
+  /** The reference HOF form of [[lexCol]] — kept ONLY as the equivalence
+    * oracle for LexSumSpec; not used in any query path.
+    */
+  private[graft] def lexColHof(textCol: String = "text"): Column = {
     val ws = split(lower(col(textCol)), " ")
     val wsum = aggregate(
       transform(ws, w => element_at(typedLit(weights),
