@@ -81,8 +81,11 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def evalGrams(spark: SparkSession, dir: String): DataFrame = {
     evalGramsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // Derived from the session's single gram pass (docGrams, round-8) —
+    // the distinct-gh frame keeps its own checkpoint because consumers
+    // treat it as the (small) sketch/build side.
     evalGramsCache.computeIfAbsent((spark, dir), k =>
-      gramHashes(docs(k._1, k._2).filter(col("doc_id") >= 450))
+      docGrams(k._1, k._2).filter(col("doc_id") >= 450)
         .select("gh").distinct().localCheckpoint())
   }
 
@@ -101,6 +104,53 @@ object OpsQueries {
     compsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     compsCache.computeIfAbsent((spark, dir), k =>
       graft.ops.ConnectedComponents.resolve(docPairs(k._1, k._2), "id_a", "id_b"))
+  }
+
+  /** (doc_id, gh) — every doc's DISTINCT 8-gram hashes over the whole
+    * corpus, memoized per (session, dir) (round-8): gram hashing is
+    * per-doc (no cross-doc state), so every consumer's train/eval subset
+    * is exactly a doc_id filter of this frame. Before the memo a
+    * full-catalog session ran the gram text pass SEVEN times
+    * (dd_containment, dd_decontam_ngram, dd_decontam_bloom, both sides
+    * of dd_decontam_pairs, the export head's contamination stage, and
+    * the eval-gram memo build). Narrow (id + hash) rows, deterministic —
+    * memoization cannot change any result.
+    */
+  private val gramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def docGrams(spark: SparkSession, dir: String): DataFrame = {
+    gramsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    gramsCache.computeIfAbsent((spark, dir), k =>
+      gramHashes(docs(k._1, k._2)).localCheckpoint())
+  }
+
+  /** (doc_id, line_idx, lh) — every doc's line-unit hashes in document
+    * order, memoized per (session, dir) (round-8): unit hashing is
+    * per-doc, so subsets are doc_id filters. Consumers: dd_line_dedup,
+    * dd_line_provenance, both sides of q_incremental_linededup — four
+    * unit text passes per session collapsed into one.
+    */
+  private val lineUnitsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def docLineUnits(spark: SparkSession, dir: String): DataFrame = {
+    lineUnitsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    lineUnitsCache.computeIfAbsent((spark, dir), k =>
+      graft.ops.LineDedup.unitHashes(docs(k._1, k._2), "text").localCheckpoint())
+  }
+
+  /** (doc_id, pos, gh) — every doc's POSITIONED 8-gram hashes, memoized
+    * per (session, dir) (round-8): positioned grams are per-doc, so
+    * subsets are doc_id filters. Consumers: dd_substring_spans/scrub/
+    * provenance and both sides of q_incremental_substring — five
+    * positioned-gram text passes per session collapsed into one.
+    */
+  private val posGramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def docPosGrams(spark: SparkSession, dir: String): DataFrame = {
+    posGramsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    posGramsCache.computeIfAbsent((spark, dir), k =>
+      graft.ops.SubstringDedup.positionedGrams(docs(k._1, k._2), "text")
+        .localCheckpoint())
   }
 
   /** The email/number scrub used by corpus_build's released text hash —
@@ -228,7 +278,7 @@ object OpsQueries {
       corpusKeepIds(meta, docShingles(s, dir),
         pairsAll = Some(docPairs(s, dir))),
       reliable = false)
-    val contaminated = gramHashes(docs(s, dir).filter(col("doc_id") < 450))
+    val contaminated = docGrams(s, dir).filter(col("doc_id") < 450)
       .join(kept, Seq("doc_id"), "left_semi")
       .join(evalGrams(s, dir), Seq("gh"), "left_semi")
       .select("doc_id").distinct()
@@ -316,8 +366,21 @@ object OpsQueries {
     */
   private val SimhashBits = 64
 
-  /** (doc_id, simhash): the 64-bit SimHash fingerprint of each doc. */
+  /** (doc_id, simhash): the 64-bit SimHash fingerprint of each doc,
+    * memoized per (session, dir) (round-8): dd_simhash and
+    * dd_simhash_neardup previously each ran the word-explode + bit-vote
+    * pass; now the first pays and the pair query reads the checkpointed
+    * two-column frame (it formerly localCheckpoint'ed its own copy per
+    * run anyway). Deterministic — memoization cannot change any result.
+    */
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def simhashFp(s: SparkSession, dir: String): DataFrame = {
+    simhashCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    simhashCache.computeIfAbsent((s, dir), k => simhashFpBuild(k._1, k._2))
+  }
+
+  private def simhashFpBuild(s: SparkSession, dir: String): DataFrame = {
     val words = docs(s, dir).select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("w"))
       .withColumn("h", md5(col("w")))
@@ -335,7 +398,7 @@ object OpsQueries {
     val fp = (0 until SimhashBits).map { i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    summed.select(col("doc_id"), fp.as("simhash"))
+    summed.select(col("doc_id"), fp.as("simhash")).localCheckpoint()
   }
 
   /** THE quality-score expression — one definition shared by tx_quality,
@@ -593,9 +656,10 @@ object OpsQueries {
     //     store pattern) so nightly runs join it exchange-free. ---
     "dd_decontam_ngram" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
-      // doc_id is a stored column, so the train filter pushes to the scan;
-      // the eval-gram side is the session-memoized checkpointed frame.
-      val hit = gramHashes(d.filter(col("doc_id") < 450))
+      // Both gram sides come from session memos: the train side filters
+      // the single gram pass (docGrams), the eval side is the distinct
+      // checkpointed frame.
+      val hit = docGrams(s, dir).filter(col("doc_id") < 450)
         .join(evalGrams(s, dir), Seq("gh"), "left_semi")
         .select("doc_id").distinct()
         .withColumn("is_contaminated", lit(true))
@@ -620,7 +684,7 @@ object OpsQueries {
       // of the eval gram chain per run (BENCH.md round-6 note).
       val ev = evalGrams(s, dir)
       val sketch = graft.ops.Decontam.gramBloom(ev)
-      val hit = gramHashes(d.filter(col("doc_id") < 450))
+      val hit = docGrams(s, dir).filter(col("doc_id") < 450)
         .filter(graft.functions.BloomMightContain.mightContain(col("gh"), sketch))
         .join(ev, Seq("gh"), "left_semi")
         .select("doc_id").distinct()
@@ -640,11 +704,12 @@ object OpsQueries {
     //     occurrences exceed the threshold; history itself is never
     //     re-scrubbed (the incremental contract). ---
     "q_incremental_linededup" -> ((s: SparkSession, dir: String) => {
-      import graft.ops.LineDedup
-      val d = docs(s, dir)
-      val histCounts = LineDedup.unitHashes(d.filter(col("doc_id") < 250))
+      // Unit hashing is per-doc, so both corpus halves are doc_id
+      // filters of the session's single memoized unit pass.
+      val u = docLineUnits(s, dir)
+      val histCounts = u.filter(col("doc_id") < 250)
         .groupBy("lh").agg(count(lit(1)).as("hist"))
-      val units = LineDedup.unitHashes(d.filter(col("doc_id") >= 250))
+      val units = u.filter(col("doc_id") >= 250)
       val over = units.groupBy("lh").agg(count(lit(1)).as("cnt"))
         .join(histCounts, Seq("lh"), "left")
         .filter(col("cnt") + coalesce(col("hist"), lit(0L)) > 1)
@@ -672,7 +737,7 @@ object OpsQueries {
     //     Only (doc_id, idx, md5) rows shuffle; the over-threshold hash
     //     set is the tiny anti-join build side. ---
     "dd_line_dedup" -> ((s: SparkSession, dir: String) => {
-      graft.ops.LineDedup.scrub(docs(s, dir), "text", maxOccurrences = 1)
+      graft.ops.LineDedup.scrubFromUnits(docLineUnits(s, dir), maxOccurrences = 1)
     }),
 
     // --- DD10b: line-unit PROVENANCE (round-7 verdict item #5) — the
@@ -687,7 +752,7 @@ object OpsQueries {
     //     semi-join against it, partitioned by the high-cardinality unit
     //     hash — never a corpus-wide window. ---
     "dd_line_provenance" -> ((s: SparkSession, dir: String) => {
-      val units = graft.ops.LineDedup.unitHashes(docs(s, dir), "text")
+      val units = docLineUnits(s, dir)
       val perDoc = units.groupBy("lh", "doc_id")
         .agg(count(lit(1)).as("occ"))
       val tot = perDoc.groupBy("lh")
@@ -713,12 +778,12 @@ object OpsQueries {
     //     ids (DecontamSpec asserts the identity on the persisted store
     //     path too). ---
     "dd_decontam_pairs" -> ((s: SparkSession, dir: String) => {
-      val d = docs(s, dir)
-      val evalGrams = gramHashes(d.filter(col("doc_id") >= 450))
+      val g = docGrams(s, dir) // session's single gram pass
+      val evalSide = g.filter(col("doc_id") >= 450)
         .select(col("gh"), col("doc_id").as("eval_doc_id"))
-      gramHashes(d.filter(col("doc_id") < 450))
+      g.filter(col("doc_id") < 450)
         .withColumnRenamed("doc_id", "train_doc_id")
-        .join(evalGrams, Seq("gh"))
+        .join(evalSide, Seq("gh"))
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(count(lit(1)).as("n_shared_grams"))
     }),
@@ -740,7 +805,7 @@ object OpsQueries {
     "dd_containment" -> ((s: SparkSession, dir: String) => {
       val maxDf = 20
       val theta = 0.5
-      val g = gramHashes(docs(s, dir))
+      val g = docGrams(s, dir) // session's single gram pass
       val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("gh")
       // Materialize.stable, not a bare localCheckpoint (round-7 verdict
@@ -771,7 +836,7 @@ object OpsQueries {
     //     (doc_id, pos, md5) rows shuffle, dup-hash set is the tiny
     //     semi-join build side, span merge is a per-doc window. ---
     "dd_substring_spans" -> ((s: SparkSession, dir: String) => {
-      graft.ops.SubstringDedup.spans(docs(s, dir), "text")
+      graft.ops.SubstringDedup.spansFromGrams(docPosGrams(s, dir))
     }),
 
     // --- DD11b: the substring SCRUB (round 6) — cut every DD11 span out
@@ -781,7 +846,8 @@ object OpsQueries {
     //     is a row-local codegen'd array filter — no token-level explode,
     //     no second corpus-wide shuffle. ---
     "dd_substring_scrub" -> ((s: SparkSession, dir: String) => {
-      graft.ops.SubstringDedup.scrub(docs(s, dir), "text")
+      graft.ops.SubstringDedup.scrubFromSpans(docs(s, dir),
+        graft.ops.SubstringDedup.spansFromGrams(docPosGrams(s, dir)), "text")
     }),
 
     // --- DD11d: substring-gram PROVENANCE (round-7 verdict item #5) —
@@ -792,7 +858,7 @@ object OpsQueries {
     //     only after the duplicated-set semi-join, keyed on the
     //     high-cardinality gram hash). ---
     "dd_substring_provenance" -> ((s: SparkSession, dir: String) => {
-      val g = graft.ops.SubstringDedup.positionedGrams(docs(s, dir), "text")
+      val g = docPosGrams(s, dir)
       val perDoc = g.groupBy("gh", "doc_id")
         .agg(count(lit(1)).as("occ"), min("pos").as("first_pos"))
       val tot = perDoc.groupBy("gh")
@@ -819,9 +885,12 @@ object OpsQueries {
     "q_incremental_substring" -> ((s: SparkSession, dir: String) => {
       import graft.ops.SubstringDedup
       val d = docs(s, dir)
-      val histCounts = SubstringDedup.positionedGrams(d.filter(col("doc_id") < 250))
+      // Positioned grams are per-doc, so both corpus halves are doc_id
+      // filters of the session's single memoized gram pass.
+      val pg = docPosGrams(s, dir)
+      val histCounts = pg.filter(col("doc_id") < 250)
         .groupBy("gh").agg(count(lit(1)).as("hist"))
-      val grams = SubstringDedup.positionedGrams(d.filter(col("doc_id") >= 250))
+      val grams = pg.filter(col("doc_id") >= 250)
       val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
         .join(histCounts, Seq("gh"), "left")
         .filter(col("cnt") + coalesce(col("hist"), lit(0L)) >= 2)
@@ -843,7 +912,7 @@ object OpsQueries {
     //     collisions per band, never all-pairs) and the exact Hamming
     //     distance verifies each candidate with one xor+bit_count. ---
     "dd_simhash_neardup" -> ((s: SparkSession, dir: String) => {
-      val fp = simhashFp(s, dir).localCheckpoint()
+      val fp = simhashFp(s, dir) // session-memoized checkpoint
       val banded = fp.select(col("doc_id"),
         posexplode(array((0 until 4).map { j =>
           shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))

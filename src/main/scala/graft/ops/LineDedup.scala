@@ -70,8 +70,17 @@ object LineDedup {
       df: DataFrame,
       textCol: String = "text",
       maxOccurrences: Int = 1
+  ): DataFrame =
+    scrubFromUnits(unitHashes(df, textCol), maxOccurrences)
+
+  /** [[scrub]] against a precomputed unit-hash frame — the form the
+    * catalog queries use so a session's single memoized unit pass feeds
+    * the whole line family (round-8).
+    */
+  def scrubFromUnits(
+      units: DataFrame,
+      maxOccurrences: Int = 1
   ): DataFrame = {
-    val units = unitHashes(df, textCol)
     // the over-threshold hash set is small (boilerplate), so it is the
     // build side of the anti join
     val repeated = units.groupBy("lh").agg(count(lit(1)).as("cnt"))

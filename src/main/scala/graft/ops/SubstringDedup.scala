@@ -63,8 +63,18 @@ object SubstringDedup {
       textCol: String = "text",
       k: Int = DefaultK,
       minOccurrences: Int = 2
+  ): DataFrame =
+    spansFromGrams(positionedGrams(df, textCol, k), k, minOccurrences)
+
+  /** [[spans]] against a precomputed positioned-gram frame — the form the
+    * catalog queries use so a session's single memoized gram pass feeds
+    * the whole substring family (round-8).
+    */
+  def spansFromGrams(
+      grams: DataFrame,
+      k: Int = DefaultK,
+      minOccurrences: Int = 2
   ): DataFrame = {
-    val grams = positionedGrams(df, textCol, k)
     // duplicated-hash set: tiny (boilerplate + planted dups), the
     // build side of the semi-join below
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
