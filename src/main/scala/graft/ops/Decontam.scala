@@ -36,13 +36,17 @@ object Decontam {
 
   /** (doc_id, gh) — distinct md5 hashes of each doc's n-grams. Docs with
     * fewer than `n` words carry no rows. One Generate + projection; the
-    * gram strings themselves never leave the map task.
+    * gram strings themselves never leave the map task. The gram array is
+    * the codegen'd graft.functions.WordGramHashes expression —
+    * bit-identical to the array_distinct(transform(...)) HOF fold it
+    * replaced (round-8; WordGramHashesSpec gates the equivalence).
     */
   def gramHashes(df: DataFrame, textCol: String, n: Int = DefaultN): DataFrame =
     df.select(col("doc_id"), split(lower(col(textCol)), " ").as("__ws"))
       .filter(size(col("__ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(__ws) - ${n - 1}), i -> md5(concat_ws(' ', slice(__ws, i, $n)))))"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordGramHashes.wordGramHashes(
+          col("__ws"), n, distinct = true))
         .as("gh"))
 
   /** Publish an eval set's distinct gram hashes to the bucketed store

@@ -31,14 +31,16 @@ object IncrementalDedup {
     * are preserved. The word split is materialized in its own projection
     * so it is evaluated once per row, not once per shingle element.
     */
+  // The shingle array is the codegen'd graft.functions.WordShingles
+  // expression — bit-identical to the CASE/array_distinct/transform HOF
+  // it replaced (round-8; WordGramHashesSpec gates the equivalence).
+  // coalesce replicates the CASE's ELSE for null text (size(null) is
+  // null, so the SQL form fell through to array()).
   def shingles(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__ws", split(lower(col(textCol)), " "))
       .withColumn("toks",
-        expr("""CASE WHEN size(__ws) >= 3 THEN
-          array_distinct(transform(sequence(1, size(__ws) - 2),
-            i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1),
-                                element_at(__ws, i + 2))))
-          ELSE array() END"""))
+        coalesce(graft.functions.WordShingles.wordShingles(col("__ws"), 3),
+          typedLit(Seq.empty[String])))
       .drop("__ws")
 
   /** Exploded banded MinHash signatures (idCol, band_idx, band_hash) of a

@@ -35,7 +35,7 @@ object LineDedup {
   /** The per-doc array of unit hashes as one codegen'd expression:
     * flatten(lines -> per-line unit md5s), order = document order.
     */
-  private def unitArraySql(textCol: String): String =
+  private[graft] def unitArraySql(textCol: String): String =
     s"""flatten(transform(split(lower($textCol), chr(10)), l ->
        |  transform(sequence(1, greatest(1, CAST(ceil(size(split(l, ' ')) / ${UnitWords}.0) AS INT))),
        |    u -> md5(concat_ws(' ', slice(split(l, ' '), (u - 1) * $UnitWords + 1, $UnitWords))))))"""
@@ -54,11 +54,17 @@ object LineDedup {
 
   /** (doc_id, line_idx, lh): every line unit of every doc, in document
     * order (line_idx is 0-based). One Generate + projection; unit TEXT
-    * never leaves the map task — only its md5.
+    * never leaves the map task — only its md5. The unit array is the
+    * codegen'd graft.functions.LineUnitHashes expression over the
+    * builtin newline split — bit-identical to [[unitArraySql]]'s nested
+    * HOF form (round-8; LineUnitHashesSpec gates the equivalence, and
+    * the SQL string remains the oracle mirror's source of truth).
     */
   def unitHashes(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(col("doc_id"),
-      posexplode(expr(unitArraySql(textCol))).as(Seq("line_idx", "lh")))
+      posexplode(graft.functions.LineUnitHashes.lineUnitHashes(
+        split(lower(col(textCol)), "\n"), UnitWords))
+        .as(Seq("line_idx", "lh")))
 
   /** One row per doc: total unit count, units surviving the corpus-wide
     * strip (occurrences ≤ `maxOccurrences`), and the scrubbed-doc

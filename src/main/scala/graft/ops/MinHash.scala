@@ -27,10 +27,15 @@ object MinHash {
     */
   val emptyBandHash: String = "d41d8cd98f00b204e9800998ecf8427e"
 
-  /** Per-row signature columns mh1..mhN over token-array column `toksCol`. */
+  /** Per-row signature columns mh1..mhN over token-array column `toksCol`.
+    * Each row is the codegen'd graft.functions.MinhashMin expression —
+    * bit-identical to the `array_min(transform(toks, w -> md5(concat(w,
+    * 's$k'))))` HOF fold it replaced (round-8; MinhashMinSpec gates the
+    * equivalence).
+    */
   def signature(toksCol: String, numPerms: Int): Seq[Column] =
     (1 to numPerms).map { k =>
-      expr(s"array_min(transform($toksCol, w -> md5(concat(w, 's$k'))))").as(s"mh$k")
+      graft.functions.MinhashMin.minhashMin(col(toksCol), s"s$k").as(s"mh$k")
     }
 
   /** Band-hash array: band j = md5 of the '|'-joined rows of that band. */

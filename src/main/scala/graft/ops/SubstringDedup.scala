@@ -42,11 +42,15 @@ object SubstringDedup {
     * (the positions are the point; [[Decontam.gramHashes]] is the
     * membership-only sibling). Docs shorter than k tokens carry no rows.
     */
+  // The gram array is the codegen'd graft.functions.WordGramHashes
+  // expression — bit-identical to the transform(...) HOF it replaced
+  // (round-8; WordGramHashesSpec gates the equivalence).
   def positionedGrams(df: DataFrame, textCol: String = "text", k: Int = DefaultK): DataFrame =
     df.select(col("doc_id"), split(lower(col(textCol)), " ").as("__ws"))
       .filter(size(col("__ws")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(__ws) - ${k - 1}), i -> md5(concat_ws(' ', slice(__ws, i, $k))))"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.WordGramHashes.wordGramHashes(
+          col("__ws"), k, distinct = false))
         .as(Seq("pos0", "gh")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
 
