@@ -31,18 +31,11 @@ object BenchExtra {
     //     what the alphabetically-first corpus query pays to build every
     //     session memo the rest of the catalog then reuses ---
     if (sys.env.get("SPARK_GRAFT_PROFILE").contains("corpus_build")) {
-      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-      val scrubbed = regexp_replace(
-        regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
       var dm: DataFrame = null
       phase("docMeta pass (qual+md5+scrub+tok)") {
-        dm = docs.select(
-          col("doc_id"), col("lang"),
-          graft.parse.QualityScore.scoreCol("text").as("quality"),
-          md5(col("text")).as("h"),
-          md5(scrubbed).as("scrub_hash"),
-          size(split(lower(col("text")), " ")).as("tokens"))
-          .localCheckpoint()
+        // OpsQueries' shared projection — the profile times the EXACT
+        // pass the session memo builds, not a re-inlined copy.
+        dm = OpsQueries.docMetaFrame(docs).localCheckpoint()
       }
       var tok: DataFrame = null
       phase("docShingles pass + checkpoint") {
@@ -77,9 +70,13 @@ object BenchExtra {
             round(col("quality"), 4).as("quality"))
           .localCheckpoint()
       }
+      // NOTE: the phases above build LOCAL frames — OpsQueries' private
+      // session memos are still cold here, so this catalog run is a
+      // FIRST-TOUCH time (it pays the real memo builds); the steady-state
+      // numbers come from BenchOne reps, whose warmup populates the memos.
       val tq0 = System.nanoTime()
       SparkEntry.queries("corpus_build")(spark, sfDir).count()
-      println(f"PHASE catalog corpus_build (memos warm) ${(System.nanoTime() - tq0) / 1e9}%8.3f s")
+      println(f"PHASE catalog corpus_build (first-touch) ${(System.nanoTime() - tq0) / 1e9}%8.3f s")
       spark.stop()
       return
     }

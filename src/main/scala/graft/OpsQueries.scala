@@ -157,11 +157,23 @@ object OpsQueries {
     * one definition so the memoized meta pass below and any future
     * caller can never drift.
     */
-  private def scrubbedCol: Column = {
+  private[graft] def scrubbedCol: Column = {
     val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     regexp_replace(
       regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
   }
+
+  /** The docMeta PROJECTION over a documents frame — exposed so the
+    * measurement harness (BenchExtra's phase profile) times the exact
+    * pass the memo builds, not a re-inlined copy that could drift.
+    */
+  private[graft] def docMetaFrame(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"), col("lang"),
+      qualityCol.as("quality"),
+      md5(col("text")).as("h"),
+      md5(scrubbedCol).as("scrub_hash"),
+      size(split(lower(col("text")), " ")).as("tokens"))
 
   /** (doc_id, lang, quality, h, scrub_hash, tokens) — every text-derived
     * SCALAR the corpus/mixing chains consume, computed in ONE memoized
@@ -178,19 +190,20 @@ object OpsQueries {
     * them from the checkpointed frame cannot change any result — the
     * full oracle pass re-verified after the change. Narrow rows (ids +
     * five scalars); the wide text column never outlives the single pass.
+    *
+    * Trade-off, deliberate: a SINGLE-query session that only needs the
+    * cheap tokens column (e.g. tx_pack alone) now pays the full fused
+    * pass once. Splitting the memo per column would make the
+    * full-catalog session — the driver's bench, the verify run, the
+    * nightly shape — read the text twice; the fused pass optimizes the
+    * shape the engine is measured on.
     */
   private val docMetaCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def docMeta(spark: SparkSession, dir: String): DataFrame = {
     docMetaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     docMetaCache.computeIfAbsent((spark, dir), k =>
-      docs(k._1, k._2).select(
-        col("doc_id"), col("lang"),
-        qualityCol.as("quality"),
-        md5(col("text")).as("h"),
-        md5(scrubbedCol).as("scrub_hash"),
-        size(split(lower(col("text")), " ")).as("tokens"))
-      .localCheckpoint())
+      docMetaFrame(docs(k._1, k._2)).localCheckpoint())
   }
 
   /** (doc_id, label) — the exact-dedup survivors of the full-corpus
@@ -714,17 +727,9 @@ object OpsQueries {
         .join(histCounts, Seq("lh"), "left")
         .filter(col("cnt") + coalesce(col("hist"), lit(0L)) > 1)
         .select("lh")
-      val kept = units.join(over, Seq("lh"), "left_anti")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("kept_line_count"),
-          md5(concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(line_idx, lh))), s -> s.lh)")))
-            .as("scrub_hash"))
-      units.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_lines"),
-          coalesce(col("kept_line_count"), lit(0L)).as("kept_line_count"),
-          coalesce(col("scrub_hash"), md5(lit(""))).as("scrub_hash"))
+      // Shared scrub tail (LineDedup.scrubUnitsAgainst) — the same
+      // kept-count/fingerprint aggregation the corpus-wide scrub runs.
+      graft.ops.LineDedup.scrubUnitsAgainst(units, over)
     }),
 
     // --- DD10: LINE-level cross-corpus dedup (round-5 verdict item #4) —

@@ -90,6 +90,12 @@ case class LexSum(child: Expression) extends UnaryExpression {
 object LexSum {
 
   private val weights: Array[Double] = graft.parse.QualityScore.weights.toArray
+  // The d(3) & 0xFF bucket below is the hex/conv/pmod chain ONLY for a
+  // 256-bucket table — fail fast if QualityScore ever changes Buckets
+  // rather than silently diverging from the oracle mirror.
+  require(graft.parse.QualityScore.Buckets == 256 && weights.length == 256,
+    s"LexSum's digest-byte bucket requires Buckets == 256, " +
+      s"got ${graft.parse.QualityScore.Buckets}")
 
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

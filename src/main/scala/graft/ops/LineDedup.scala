@@ -92,7 +92,17 @@ object LineDedup {
     val repeated = units.groupBy("lh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxOccurrences)
       .select("lh")
-    val kept = units.join(repeated, Seq("lh"), "left_anti")
+    scrubUnitsAgainst(units, repeated)
+  }
+
+  /** The scrub tail against an externally-derived strip set
+    * `stripSet(lh)` — shared by [[scrubFromUnits]] (corpus-wide counts)
+    * and the incremental variant (history + batch counts,
+    * q_incremental_linededup), so the kept-count/fingerprint
+    * aggregation can never drift between the two.
+    */
+  def scrubUnitsAgainst(units: DataFrame, stripSet: DataFrame): DataFrame = {
+    val kept = units.join(stripSet, Seq("lh"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("kept_line_count"),
         md5(concat_ws(" ", expr(
