@@ -23,24 +23,37 @@ object PipelineQueries {
   private def transcript(s: SparkSession): DataFrame =
     TranscriptGen.generate(s, N, 16, 5000)
 
+  /** The PARSED valid transcript frame, memoized per session (round-8):
+    * four pipe_* queries ran the identical generate → grok-parse pass;
+    * now the first pays and the rest read the checkpointed rows. The
+    * generator is pure index math and the parse deterministic, so
+    * memoization cannot change any result (same contract as
+    * OpsQueries' docShingles-family memos). pipe_quarantine keeps its
+    * own pass — it parses a MUTATED transcript (injected bad rows).
+    */
+  private val parsedCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]
+  private def parsedValid(s: SparkSession): DataFrame = {
+    parsedCache.keySet.removeIf(_.sparkContext.isStopped)
+    parsedCache.computeIfAbsent(s, k =>
+      TranscriptParse.parse(transcript(k))._1.localCheckpoint())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Full parse → salted exploded rollup (the pipeline's aggregate output).
     "pipe_rollup" -> ((s: SparkSession, _: String) => {
-      val (valid, _) = TranscriptParse.parse(transcript(s))
-      Rollup.explodedRollup(valid)
+      Rollup.explodedRollup(parsedValid(s))
     }),
 
     // Parse → broadcast enrich → router fan-out counts.
     "pipe_routes" -> ((s: SparkSession, _: String) => {
-      val (valid, _) = TranscriptParse.parse(transcript(s))
-      Router.routeCounts(Enrich.enrich(valid, s), Router.defaultRoutes)
+      Router.routeCounts(Enrich.enrich(parsedValid(s), s), Router.defaultRoutes)
     }),
 
     // Stable (conv_id, turn_idx) ordering invariant: row_number/lag window.
     "pipe_turn_order" -> ((s: SparkSession, _: String) => {
-      val (valid, _) = TranscriptParse.parse(transcript(s))
-      Rollup.withTurnOrder(valid)
+      Rollup.withTurnOrder(parsedValid(s))
         .select("conv_id", "turn_idx", "turn_rank", "role", "prev_role")
     }),
 
@@ -59,8 +72,7 @@ object PipelineQueries {
     // already sorted by mapValued) — the driver's rows-only check sorts the
     // frame in pandas, which cannot sort raw map/dict columns.
     "pipe_map_valued" -> ((s: SparkSession, _: String) => {
-      val (valid, _) = TranscriptParse.parse(transcript(s))
-      Rollup.mapValued(Rollup.explodedRollup(valid))
+      Rollup.mapValued(Rollup.explodedRollup(parsedValid(s)))
         .select(col("conv_id"), col("window_start"), col("window_size"),
           to_json(col("counts_by_tool")).as("counts_by_tool"),
           to_json(col("counts_by_role")).as("counts_by_role"))
